@@ -1,0 +1,24 @@
+"""drtk_tpu — TPU-native differentiable rasterization framework.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the full capability surface
+of facebookresearch/DRTK (Differentiable Rendering Toolkit): the pipeline
+``transform -> rasterize -> render -> interpolate -> (user shading) ->
+edge_grad_estimator`` plus mipmapped texture sampling, grid scatter,
+multi-sphere-image raymarching, and alias-free resampling filters — designed
+for TPU (tile-local z-buffers instead of atomics, segment reductions instead
+of warp shuffles, mesh sharding instead of grid-stride loops).
+"""
+
+from drtk_tpu import utils  # noqa
+from drtk_tpu.ops.edge_grad import edge_grad_estimator, edge_grad_estimator_ref  # noqa
+from drtk_tpu.ops.interpolate import (  # noqa
+    interpolate,
+    interpolate_ref,
+    interpolation_matrix,
+    interpolation_normal_matrix,
+)
+from drtk_tpu.ops.rasterize import rasterize, rasterize_with_depth  # noqa
+from drtk_tpu.ops.render import render, render_ref  # noqa
+from drtk_tpu.transform import transform, transform_with_v_cam  # noqa
+
+__version__ = "0.1.0"

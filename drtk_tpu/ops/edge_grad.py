@@ -1,0 +1,335 @@
+"""Edge-gradient estimator: differentiability at visibility discontinuities.
+
+TPU-native reimplementation of the reference's ``edge_grad_ext``
+(`src/edge_grad/edge_grad_kernel.cu` in facebookresearch/DRTK), the
+"Rasterized Edge Gradients" method (ECCV 2024, arXiv:2405.02508).
+
+* Forward is the identity on ``img`` (edge_grad_module.cpp:118-137).
+
+* Backward (edge_grad_kernel.cu:219-449) examines the Center/Right/Down (CRD)
+  2x2-neighbourhood stencil at every pixel with ``x < W-1 && y < H-1``:
+  horizontal/vertical index discontinuities are classified as *overlap* (one
+  triangle hangs over the other), *intersection* (each pixel center lies
+  inside the other pixel's triangle) or *adjacent*; the image-difference dot
+  ``grad_dot = sum_c (img[nbr]-img[center]) * 0.5*(g[nbr]+g[center])`` is
+  assigned to the moving side's x (or y), and for intersections spread into
+  x/y *and z* through ``dp_dr`` computed from projected face normals
+  (get_dp_dr, kernel.cu:102-203, Eqn. 14 / §S.3 of the paper), including the
+  ``max_dp_dr`` magnitude clamp. Contributions are negated and accumulated
+  into a [N, 3, H, W] ``grad_v_pix_img``.
+
+  The CUDA kernel's per-pixel branches become masked vector ops here; the
+  three ``atomicAdd`` targets (center/right/down) become three shifted adds.
+  The pixel→vertex reduction then happens through :func:`interpolate`'s VJP,
+  exactly like the reference (drtk/edge_grad_estimator.py:168-175).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from drtk_tpu.ops.interpolate import interpolate
+from drtk_tpu.ops.math import epsclamp
+from drtk_tpu.ops.rasterize import broadcast_vi
+
+__all__ = ["edge_grad_estimator", "edge_grad_estimator_ref"]
+
+
+def _safe_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.where(n == 0, 1.0, n)
+
+
+def _pix_in_tri(p0, p1, p2, px, py):
+    """Vectorized ``pix_in_tri`` (edge_grad_kernel.cu:30-70): coverage of
+    point (px, py) under the top-left fill rule. p* are [..., 2] arrays
+    broadcastable against px/py."""
+    v01 = p1 - p0
+    v02 = p2 - p0
+    v12 = p2 - p1
+    den = v01[..., 0] * v02[..., 1] - v01[..., 1] * v02[..., 0]
+    sgn = jnp.sign(den)
+
+    vp0p_x = px - p0[..., 0]
+    vp0p_y = py - p0[..., 1]
+    vp1p_x = px - p1[..., 0]
+    vp1p_y = py - p1[..., 1]
+
+    b0 = (vp1p_y * v12[..., 0] - vp1p_x * v12[..., 1]) * sgn
+    b1 = (vp0p_x * v02[..., 1] - vp0p_y * v02[..., 0]) * sgn
+    b2 = (vp0p_y * v01[..., 0] - vp0p_x * v01[..., 1]) * sgn
+
+    def topleft(e, invert):
+        pos = (e[..., 1] < 0) | ((e[..., 1] == 0) & (e[..., 0] > 0))
+        neg = (e[..., 1] > 0) | ((e[..., 1] == 0) & (e[..., 0] < 0))
+        if invert:
+            pos, neg = neg, pos
+        return jnp.where(den > 0, pos, neg)
+
+    tl0 = topleft(v12, False)
+    tl1 = topleft(v02, True)
+    tl2 = topleft(v01, False)
+
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+    reject = ((b0 == 0) & ~tl0) | ((b1 == 0) & ~tl1) | ((b2 == 0) & ~tl2)
+    return inside & ~reject & (den != 0)
+
+
+def _get_dp_dr(n_varying, n_fixed, max_dp_dr):
+    """Vectorized ``get_dp_dr`` (edge_grad_kernel.cu:102-203).
+
+    n_varying / n_fixed: [..., 2] projected face normals (XZ or YZ plane).
+    Returns [..., 2]: (d p/d r, d p/d z-ish) used to spread grad_dot.
+    """
+    nv = _safe_normalize(n_varying)
+    nf = _safe_normalize(n_fixed)
+    b_x = -nf[..., 1]
+    b_y = nf[..., 0]
+    d = b_x * nv[..., 0] + b_y * nv[..., 1]
+    if max_dp_dr > 0:
+        abs_d = jnp.abs(d)
+        abs_bx_over_m = jnp.abs(b_x) / max_dp_dr
+        sign_d = jnp.where(d >= 0, 1.0, -1.0)
+        safe_d = sign_d * epsclamp(jnp.maximum(abs_d, abs_bx_over_m))
+        scale = b_x / safe_d
+    else:
+        scale = b_x / epsclamp(d)
+    return scale[..., None] * nv
+
+
+def _face_normals(v_pix: jnp.ndarray, vi: jnp.ndarray) -> jnp.ndarray:
+    """Per-face normals, ``normalize(cross(p0 - p2, p1 - p0))``
+    (get_tri_normal, edge_grad_kernel.cu:89-100). [N, F, 3]."""
+    f = jax.vmap(lambda vb, vib: vb[vib])(v_pix, vi)  # [N, F, 3, 3]
+    p0, p1, p2 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    return _safe_normalize(jnp.cross(p0 - p2, p1 - p0))
+
+
+def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
+    """Compute grad_v_pix_img [N, 3, H, W] (the CUDA backward kernel)."""
+    dtype = v_pix.dtype
+    n, c, h, w = img.shape
+
+    # ---- stencil-center grids (pixels with x < W-1, y < H-1) -------------
+    sh, sw = h - 1, w - 1
+
+    idx = index_img
+    c_idx = idx[:, :sh, :sw]
+    r_idx = idx[:, :sh, 1:]
+    d_idx = idx[:, 1:, :sw]
+
+    c_valid = c_idx >= 0
+    r_valid = r_idx >= 0
+    d_valid = d_idx >= 0
+
+    lr_diff = c_idx != r_idx
+    ud_diff = c_idx != d_idx
+    x_both = c_valid & r_valid
+    y_both = c_valid & d_valid
+
+    # ---- per-pixel triangle vertices for C/R/D ----------------------------
+    # Invalid pixels use vertex indices {0,0,0} (load_vec3_if_valid,
+    # kernel.cu:205-215) -> degenerate -> pix_in_tri false.
+    zeros3 = jnp.zeros((1, 1, 1, 3), jnp.int32)
+
+    def tri_pts(idx_s, valid_s):
+        safe = jnp.maximum(idx_s, 0)
+        vi_pt = jax.vmap(lambda vib, ii: vib[ii])(vi, safe)  # [N,sh,sw,3]
+        vi_pt = jnp.where(valid_s[..., None], vi_pt, zeros3)
+        pts = jax.vmap(lambda vb, ii: vb[ii])(v_pix, vi_pt)  # [N,sh,sw,3,3]
+        return pts
+
+    pts_c = tri_pts(c_idx, c_valid)
+    pts_r = tri_pts(r_idx, r_valid)
+    pts_d = tri_pts(d_idx, d_valid)
+
+    px = jnp.arange(sw, dtype=dtype)[None, None, :]
+    py = jnp.arange(sh, dtype=dtype)[None, :, None]
+
+    def in_tri(pts, ox, oy):
+        return _pix_in_tri(
+            pts[..., 0, :2], pts[..., 1, :2], pts[..., 2, :2], px + ox, py + oy
+        )
+
+    center_in_right = lr_diff & x_both & in_tri(pts_r, 0.0, 0.0)
+    right_in_center = lr_diff & x_both & in_tri(pts_c, 1.0, 0.0)
+    center_in_down = ud_diff & y_both & in_tri(pts_d, 0.0, 0.0)
+    down_in_center = ud_diff & y_both & in_tri(pts_c, 0.0, 1.0)
+
+    l_over_r = center_in_right & ~right_in_center
+    r_over_l = right_in_center & ~center_in_right
+    u_over_d = center_in_down & ~down_in_center
+    d_over_u = down_in_center & ~center_in_down
+
+    horiz_int = center_in_right & right_in_center
+    vert_int = center_in_down & down_in_center
+
+    horiz_adj = lr_diff & x_both & ~center_in_right & ~right_in_center
+    vert_adj = ud_diff & y_both & ~center_in_down & ~down_in_center
+
+    # ---- image-difference dot grad_output (kernel.cu:351-380) -------------
+    g = grad_output
+    gdx = jnp.sum(
+        (img[:, :, :sh, 1:] - img[:, :, :sh, :sw])
+        * (0.5 * (g[:, :, :sh, 1:] + g[:, :, :sh, :sw])),
+        axis=1,
+    )
+    gdy = jnp.sum(
+        (img[:, :, 1:, :sw] - img[:, :, :sh, :sw])
+        * (0.5 * (g[:, :, 1:, :sw] + g[:, :, :sh, :sw])),
+        axis=1,
+    )
+    gdx = jnp.where(lr_diff, gdx, 0.0)
+    gdy = jnp.where(ud_diff, gdy, 0.0)
+
+    # ---- face normals for dp_dr (intersection case) -----------------------
+    normals = _face_normals(v_pix, vi)  # [N, F, 3]
+
+    def pix_normals(idx_s, valid_s):
+        safe = jnp.maximum(idx_s, 0)
+        nrm = jax.vmap(lambda nb, ii: nb[ii])(normals, safe)
+        return jnp.where(valid_s[..., None], nrm, 0.0)
+
+    n_c = pix_normals(c_idx, c_valid)
+    n_r = pix_normals(r_idx, r_valid)
+    n_d = pix_normals(d_idx, d_valid)
+
+    def dp(nv, nf, axes):
+        return _get_dp_dr(nv[..., axes], nf[..., axes], max_dp_dr)
+
+    xz = jnp.array([0, 2])
+    yz = jnp.array([1, 2])
+
+    dpx_c = dp(n_c, n_r, xz)  # center moves, right fixed (kernel.cu:395-399)
+    dpx_r = dp(n_r, n_c, xz)  # right moves, center fixed
+    dpy_c = dp(n_c, n_d, yz)
+    dpy_d = dp(n_d, n_c, yz)
+
+    # ---- assemble per-stencil contributions (kernel.cu:383-423) -----------
+    zero = jnp.zeros_like(gdx)
+
+    # horizontal, non-intersection
+    gvc_x = jnp.where(
+        ~horiz_int & ~(~c_valid | r_over_l | horiz_adj), gdx, zero
+    )
+    gvr_x = jnp.where(
+        ~horiz_int & ~(~r_valid | l_over_r | horiz_adj), gdx, zero
+    )
+    # horizontal, intersection
+    gvc_x = gvc_x + jnp.where(horiz_int, gdx * dpx_c[..., 0], zero)
+    gvc_zx = jnp.where(horiz_int, gdx * dpx_c[..., 1], zero)
+    gvr_x = gvr_x + jnp.where(horiz_int, gdx * dpx_r[..., 0], zero)
+    gvr_z = jnp.where(horiz_int, gdx * dpx_r[..., 1], zero)
+
+    # vertical, non-intersection
+    gvc_y = jnp.where(~vert_int & ~(~c_valid | d_over_u | vert_adj), gdy, zero)
+    gvd_y = jnp.where(~vert_int & ~(~d_valid | u_over_d | vert_adj), gdy, zero)
+    # vertical, intersection
+    gvc_y = gvc_y + jnp.where(vert_int, gdy * dpy_c[..., 0], zero)
+    gvc_zy = jnp.where(vert_int, gdy * dpy_c[..., 1], zero)
+    gvd_y = gvd_y + jnp.where(vert_int, gdy * dpy_d[..., 0], zero)
+    gvd_z = jnp.where(vert_int, gdy * dpy_d[..., 1], zero)
+
+    gvc = jnp.stack([gvc_x, gvc_y, gvc_zx + gvc_zy], axis=1)  # [N,3,sh,sw]
+    gvr = jnp.stack([gvr_x, zero, gvr_z], axis=1)
+    gvd = jnp.stack([zero, gvd_y, gvd_z], axis=1)
+
+    # ---- negated scatter into the three stencil positions -----------------
+    gvc = gvc.astype(dtype)
+    gvr = gvr.astype(dtype)
+    gvd = gvd.astype(dtype)
+    grad_v_pix_img = jnp.zeros((n, 3, h, w), dtype)
+    grad_v_pix_img = grad_v_pix_img.at[:, :, :sh, :sw].add(-gvc)
+    grad_v_pix_img = grad_v_pix_img.at[:, :, :sh, 1:].add(-gvr)
+    grad_v_pix_img = grad_v_pix_img.at[:, :, 1:, :sw].add(-gvd)
+    return grad_v_pix_img
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _edge_grad_core(v_pix, v_pix_img, vi, img, index_img, max_dp_dr):
+    return img
+
+
+def _edge_grad_core_fwd(v_pix, v_pix_img, vi, img, index_img, max_dp_dr):
+    return img, (v_pix, vi, img, index_img)
+
+
+def _edge_grad_core_bwd(max_dp_dr, res, grad_output):
+    v_pix, vi, img, index_img = res
+    grad_v_pix_img = _edge_grad_backward(
+        v_pix, vi, img, index_img, grad_output, max_dp_dr
+    )
+    # (grad_v_pix, grad_v_pix_img, grad_vi, grad_img, grad_index_img)
+    return (
+        jnp.zeros_like(v_pix),
+        grad_v_pix_img,
+        None,
+        grad_output,
+        None,
+    )
+
+
+_edge_grad_core.defvjp(_edge_grad_core_fwd, _edge_grad_core_bwd)
+
+
+def edge_grad_estimator(
+    v_pix: jnp.ndarray,
+    vi: jnp.ndarray,
+    bary_img: jnp.ndarray,
+    img: jnp.ndarray,
+    index_img: jnp.ndarray,
+    v_pix_img_hook: Optional[Callable[[jnp.ndarray], None]] = None,
+    max_dp_dr: float = 1e4,
+) -> jnp.ndarray:
+    """Make the rasterized image differentiable at visibility discontinuities.
+
+    Mirrors ``drtk.edge_grad_estimator`` (drtk/edge_grad_estimator.py:20-175):
+    returns ``img`` unchanged in the forward pass; in the backward pass,
+    image-space discontinuity gradients are computed with the CRD stencil and
+    flow to ``v_pix`` through :func:`interpolate`'s VJP (the pixel-to-vertex
+    reduction), with ``bary_img`` detached.
+
+    Args:
+        v_pix: [N, V, 3] pixel-space positions (x_pix, y_pix, z_cam).
+        vi: [N, F, 3] or [F, 3] int32 face indices.
+        bary_img: [N, 3, H, W] barycentrics (will be detached).
+        img: [N, C, H, W] rendered image; must correspond exactly to
+            index_img/bary_img (no spatial post-processing).
+        index_img: [N, H, W] int32 index image.
+        v_pix_img_hook: unsupported in JAX (no backward hooks); pass None.
+        max_dp_dr: magnitude clamp for dp/dr (0.0 disables, for
+            finite-difference comparisons). Default 1e4.
+
+    Returns:
+        ``img``, with discontinuity gradients attached.
+    """
+    if v_pix_img_hook is not None:
+        raise NotImplementedError(
+            "v_pix_img_hook is not supported in the JAX port; inspect "
+            "gradients with jax.grad on v_pix_img instead"
+        )
+    vi = broadcast_vi(vi, v_pix.shape[0])
+    v_pix_img = interpolate(v_pix, vi, index_img, jax.lax.stop_gradient(bary_img))
+    return _edge_grad_core(
+        v_pix, v_pix_img, vi, img, index_img, float(max_dp_dr)
+    )
+
+
+def edge_grad_estimator_ref(
+    v_pix: jnp.ndarray,
+    vi: jnp.ndarray,
+    bary_img: jnp.ndarray,
+    img: jnp.ndarray,
+    index_img: jnp.ndarray,
+    v_pix_img_hook: Optional[Callable[[jnp.ndarray], None]] = None,
+    max_dp_dr: float = 1e4,
+) -> jnp.ndarray:
+    """Alias for parity with the reference API (drtk/edge_grad_estimator.py:
+    178-208); the main implementation is already pure-vectorized."""
+    return edge_grad_estimator(
+        v_pix, vi, bary_img, img, index_img, v_pix_img_hook, max_dp_dr
+    )

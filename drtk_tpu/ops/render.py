@@ -1,0 +1,260 @@
+"""Depth + perspective-correct barycentric rendering with a custom VJP.
+
+TPU-native equivalent of the reference's ``render_ext``
+(`src/render/render_kernel.cu` in facebookresearch/DRTK):
+
+* Forward (render_kernel.cu:21-117): per pixel, gather the three vertices of
+  the triangle in ``index_img``, recompute 2-D barycentrics from edge cross
+  products, convert to perspective-correct 3-D barycentrics
+  ``bary_3D_i = (1/z_i) * lambda_i * depth`` with
+  ``depth = 1 / epsclamp(sum_i lambda_i / z_i)``. Background pixels
+  (index -1) output zeros.
+
+* Backward (render_kernel.cu:121-281): hand-derived VJP to vertex x, y, z with
+  **clamp-aware gradient zeroing** — every ``epsclamp`` site records whether
+  clamping occurred and kills that gradient path. The CUDA ``fastAtomicAdd``
+  per-vertex accumulation becomes a batched segment-sum scatter-add, which XLA
+  lowers without atomics.
+
+On TPU the forward/backward are pure gather + elementwise passes that XLA
+fuses; there is no benefit to a handwritten Mosaic kernel for this op (the
+cost is HBM-bound gathers), so this op is plain XLA by design.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from drtk_tpu.ops.math import epsclamp
+from drtk_tpu.ops.rasterize import broadcast_vi
+
+__all__ = ["render", "render_ref"]
+
+
+def _gather_face_verts(
+    v: jnp.ndarray, vi: jnp.ndarray, index_img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel triangle vertices.
+
+    Returns (pix_verts [N, H, W, 3(corner), 3(xyz)], mask [N, H, W]).
+    """
+    mask = index_img >= 0
+    safe_index = jnp.maximum(index_img, 0)
+    # Two-level gather: faces first, then per-pixel.
+    face_verts = jax.vmap(lambda vb, vib: vb[vib])(v, vi)  # [N, F, 3, 3]
+    pix_verts = jax.vmap(lambda fv, ii: fv[ii])(face_verts, safe_index)
+    return pix_verts, mask
+
+
+def _render_fwd_math(v, vi, index_img):
+    dtype = v.dtype
+    n, h, w = index_img.shape
+    pix_verts, mask = _gather_face_verts(v, vi, index_img)
+
+    p0 = pix_verts[..., 0, :2]
+    p1 = pix_verts[..., 1, :2]
+    p2 = pix_verts[..., 2, :2]
+    z = pix_verts[..., 2]  # [N, H, W, 3]
+
+    v01 = p1 - p0
+    v02 = p2 - p0
+    den_raw = v01[..., 0] * v02[..., 1] - v01[..., 1] * v02[..., 0]
+    den = epsclamp(den_raw)
+
+    px = jnp.arange(w, dtype=dtype)[None, None, :]
+    py = jnp.arange(h, dtype=dtype)[None, :, None]
+    vp0p_x = px - p0[..., 0]
+    vp0p_y = py - p0[..., 1]
+
+    b1 = (vp0p_x * v02[..., 1] - vp0p_y * v02[..., 0]) / den
+    b2 = (vp0p_y * v01[..., 0] - vp0p_x * v01[..., 1]) / den
+    b0 = 1.0 - b1 - b2
+    bary = jnp.stack([b0, b1, b2], axis=-1)  # [N, H, W, 3]
+
+    z_eps = epsclamp(z)
+    d_inv = 1.0 / z_eps
+    depth_inv_raw = jnp.sum(d_inv * bary, axis=-1)
+    depth_inv = epsclamp(depth_inv_raw)
+    depth = 1.0 / depth_inv
+
+    bary_3d = d_inv * bary * depth[..., None]
+
+    maskf = mask.astype(dtype)
+    depth_img = depth * maskf
+    bary_img = jnp.moveaxis(bary_3d * maskf[..., None], -1, 1)  # [N, 3, H, W]
+    return depth_img, bary_img
+
+
+@jax.custom_vjp
+def _render_core(v, vi, index_img):
+    return _render_fwd_math(v, vi, index_img)
+
+
+def _render_core_fwd(v, vi, index_img):
+    out = _render_fwd_math(v, vi, index_img)
+    return out, (v, vi, index_img)
+
+
+def _render_core_bwd(res, grads):
+    """Mirrors render_backward_kernel (render_kernel.cu:121-281)."""
+    v, vi, index_img = res
+    grad_depth_img, grad_bary_img = grads
+    dtype = v.dtype
+    n, h, w = index_img.shape
+
+    pix_verts, mask = _gather_face_verts(v, vi, index_img)
+    p0 = pix_verts[..., 0, :2]
+    p1 = pix_verts[..., 1, :2]
+    p2 = pix_verts[..., 2, :2]
+    z = pix_verts[..., 2]
+
+    v01 = p1 - p0
+    v02 = p2 - p0
+    den_raw = v01[..., 0] * v02[..., 1] - v01[..., 1] * v02[..., 0]
+    den = epsclamp(den_raw)
+    den_clamped = den != den_raw
+
+    px = jnp.arange(w, dtype=dtype)[None, None, :]
+    py = jnp.arange(h, dtype=dtype)[None, :, None]
+    vp0p_x = px - p0[..., 0]
+    vp0p_y = py - p0[..., 1]
+
+    b12_pre = jnp.stack(
+        [
+            vp0p_x * v02[..., 1] - vp0p_y * v02[..., 0],
+            vp0p_y * v01[..., 0] - vp0p_x * v01[..., 1],
+        ],
+        axis=-1,
+    )
+    b12 = b12_pre / den[..., None]
+    bary = jnp.stack([1.0 - b12[..., 0] - b12[..., 1], b12[..., 0], b12[..., 1]], -1)
+
+    z_eps = epsclamp(z)
+    z_clamped = z_eps != z
+    d_inv = 1.0 / z_eps
+
+    depth_inv_raw = jnp.sum(d_inv * bary, axis=-1)
+    depth_inv = epsclamp(depth_inv_raw)
+    depth_inv_clamped = depth_inv != depth_inv_raw
+    depth = 1.0 / depth_inv
+
+    dL_bary3d = jnp.moveaxis(grad_bary_img, 1, -1)  # [N, H, W, 3]
+    # dL_depth includes the contribution through bary_3D = d_inv*bary*depth
+    # (render_kernel.cu:226).
+    dL_depth = grad_depth_img + jnp.sum(dL_bary3d * d_inv * bary, axis=-1)
+    dL_depth_inv = jnp.where(
+        depth_inv_clamped,
+        jnp.zeros_like(dL_depth),
+        -dL_depth / (depth_inv_raw * depth_inv_raw),
+    )
+    dL_d_inv = dL_bary3d * bary * depth[..., None] + dL_depth_inv[..., None] * bary
+    dL_z = -dL_d_inv / (z_eps * z_eps)
+    dL_z = jnp.where(z_clamped, jnp.zeros_like(dL_z), dL_z)
+
+    dL_bary = dL_bary3d * d_inv * depth[..., None] + dL_depth_inv[..., None] * d_inv
+    dL_b12 = jnp.stack(
+        [
+            -dL_bary[..., 0] + dL_bary[..., 1],
+            -dL_bary[..., 0] + dL_bary[..., 2],
+        ],
+        axis=-1,
+    )
+    dL_b_pre = dL_b12 / den[..., None]
+    dL_den = jnp.where(
+        den_clamped,
+        jnp.zeros_like(den),
+        -jnp.sum(dL_b_pre * b12, axis=-1),
+    )
+
+    dL_vp0p_x = dL_b_pre[..., 0] * v02[..., 1] - dL_b_pre[..., 1] * v01[..., 1]
+    dL_vp0p_y = -dL_b_pre[..., 0] * v02[..., 0] + dL_b_pre[..., 1] * v01[..., 0]
+
+    dL_v02 = jnp.stack(
+        [
+            -dL_b_pre[..., 0] * vp0p_y - dL_den * v01[..., 1],
+            dL_b_pre[..., 0] * vp0p_x + dL_den * v01[..., 0],
+        ],
+        axis=-1,
+    )
+    dL_v01 = jnp.stack(
+        [
+            dL_b_pre[..., 1] * vp0p_y + dL_den * v02[..., 1],
+            -dL_b_pre[..., 1] * vp0p_x - dL_den * v02[..., 0],
+        ],
+        axis=-1,
+    )
+
+    dL_p0 = -dL_v02 - dL_v01 - jnp.stack([dL_vp0p_x, dL_vp0p_y], axis=-1)
+    dL_p1 = dL_v01
+    dL_p2 = dL_v02
+
+    # Per-pixel [N, H, W, 3(corner), 3(xyz)] gradient, then scatter to verts.
+    grad_pix = jnp.stack(
+        [
+            jnp.concatenate([dL_p0, dL_z[..., 0:1]], axis=-1),
+            jnp.concatenate([dL_p1, dL_z[..., 1:2]], axis=-1),
+            jnp.concatenate([dL_p2, dL_z[..., 2:3]], axis=-1),
+        ],
+        axis=-2,
+    )
+    grad_pix = grad_pix * mask[..., None, None].astype(dtype)
+
+    # Scatter-add into grad_v via per-pixel vertex ids. Note: like the
+    # reference (render_kernel.cu:69-72), vi is used raw here — only
+    # rasterize masks the wireframe nibble.
+    safe_index = jnp.maximum(index_img, 0)
+    pix_vi = jax.vmap(lambda vib, ii: vib[ii])(vi, safe_index)  # [N, H, W, 3]
+
+    num_v = v.shape[1]
+
+    def scatter_one(ids, vals):
+        # ids [H*W*3], vals [H*W*3, 3] -> [V, 3]
+        return jnp.zeros((num_v, 3), dtype).at[ids].add(vals)
+
+    grad_v = jax.vmap(scatter_one)(
+        pix_vi.reshape(n, -1),
+        grad_pix.reshape(n, -1, 3),
+    )
+    return grad_v, None, None
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+def render(
+    v: jnp.ndarray, vi: jnp.ndarray, index_img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render depth and 3-D barycentric images from a rasterized index image.
+
+    Mirrors ``drtk.render`` (drtk/render.py:18-39).
+
+    Args:
+        v: [N, V, 3] pixel-space vertex positions (x_pix, y_pix, z_cam).
+        vi: [N, F, 3] or [F, 3] int32 triangle indices.
+        index_img: [N, H, W] int32 triangle index image (-1 = background).
+
+    Returns:
+        (depth_img [N, H, W], bary_img [N, 3, H, W]); zeros at background.
+    """
+    if v.ndim != 3 or v.shape[-1] != 3:
+        raise ValueError(f"render: expected v of shape [N, V, 3], got {v.shape}")
+    vi = broadcast_vi(vi, v.shape[0])
+    if index_img.ndim != 3:
+        raise ValueError(
+            f"render: expected index_img of shape [N, H, W], got {index_img.shape}"
+        )
+    return _render_core(v, vi, index_img)
+
+
+def render_ref(
+    v: jnp.ndarray, vi: jnp.ndarray, index_img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float64 reference implementation (oracle), mirroring
+    ``drtk.render_ref`` (drtk/render.py:61-131). Requires x64 enabled."""
+    orig_dtype = v.dtype
+    v64 = v.astype(jnp.float64)
+    depth, bary = _render_fwd_math(v64, broadcast_vi(vi, v.shape[0]), index_img)
+    return depth.astype(orig_dtype), bary.astype(orig_dtype)
