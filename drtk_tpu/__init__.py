@@ -17,6 +17,10 @@ from drtk_tpu.ops.interpolate import (  # noqa
     interpolation_matrix,
     interpolation_normal_matrix,
 )
+from drtk_tpu.ops.mipmap_grid_sample import (  # noqa
+    mipmap_grid_sample,
+    mipmap_grid_sample_ref,
+)
 from drtk_tpu.ops.rasterize import rasterize, rasterize_with_depth  # noqa
 from drtk_tpu.ops.render import render, render_ref  # noqa
 from drtk_tpu.transform import transform, transform_with_v_cam  # noqa

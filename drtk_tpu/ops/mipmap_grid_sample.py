@@ -1,0 +1,524 @@
+"""Mipmapped, anisotropic grid sampling (TPU-native).
+
+Equivalent of the reference's ``mipmap_grid_sampler_ext``
+(`src/mipmap_grid_sampler/mipmap_grid_sampler_kernel.cu` and
+`drtk/mipmap_grid_sample.py` in facebookresearch/DRTK): ``grid_sample`` plus
+OpenGL-spec mip selection (eq. 8.15/8.16, p.255) and anisotropic filtering
+with up to ``max_aniso`` taps along the dominant screen-space axis.
+
+TPU-first design notes
+----------------------
+
+* The reference passes the pyramid as up to 11 separate tensors marshalled
+  through a ``TensorInfoList`` (mipmap_grid_sampler_module.cpp:56-88) and
+  each CUDA thread dynamically indexes ``inputs[d1]``. Dynamic per-pixel
+  tensor selection does not vectorize on TPU; instead we pack the pyramid
+  into a single **texture atlas** (levels concatenated along width). The
+  per-pixel mip level then becomes plain coordinate arithmetic — a gather of
+  per-level parameters (size, offset) followed by one batched gather into
+  the atlas — identical work for every pixel, fully vectorized on the VPU.
+
+* Per-pixel anisotropic tap counts (``N`` from 1 to ``max_aniso``,
+  kernel.cu:460-478) are a dynamic trip count. We evaluate all ``max_aniso``
+  taps and mask taps ``i >= N`` — the vectorized equivalent of the
+  reference's data-dependent loop (wasted lanes are cheaper than divergence
+  on a vector machine).
+
+* The backward needs gradients for the texture levels and the grid only —
+  the reference returns ``(vector<Tensor> input_grads, Tensor grid_grad)``
+  and nothing for ``vt_dxdy_img`` (kernel.cu:1103+). We therefore build the
+  forward out of differentiable gathers and ``stop_gradient`` everything
+  derived from ``vt_dxdy_img`` (level selection, tap offsets, tap weights);
+  JAX autodiff then produces exactly the reference's VJP: scatter-adds into
+  the levels (``safe_add_2d``) and the sampling derivative for the grid.
+
+Conventions preserved (kernel.cu:411-631):
+  * ``align_corners`` is forced ``False`` inside the kernel (:423).
+  * ``px = sqrt((dudx*W)^2 + (dvdx*H)^2 + 1e-12)`` with W, H of the *base*
+    level (:458-459).
+  * ``N = min(ceil(p_max/p_min), max_aniso)``; ``N = 1`` if ``p_min == 0``.
+  * ``lambda = log2(p_max / N)``; NaN/Inf -> 0; clamped to
+    ``[0, mipmaps - 1 - 1e-6]``.
+  * ``clip_grad``: when the pyramid is truncated (lambda > mipmaps-1),
+    rescale the uv-steps by ``exp2(l) * N / p_max`` (:480-493).
+  * tap ``i`` offset along the dominant axis: ``(i+1)/(N+1)*2 - 1`` times
+    the uv gradient; weights ``(1-a)/N`` for level d1 and ``a/N`` for d1+1.
+  * ``force_max_aniso``: always take ``max_aniso`` taps (debug/parity mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mipmap_grid_sample", "mipmap_grid_sample_ref"]
+
+_MAX_MIPMAP_COUNT = 11  # kernel.cu:16
+
+
+# --------------------------------------------------------------------------
+# Atlas construction
+# --------------------------------------------------------------------------
+
+
+def _build_atlas(levels: Sequence[jnp.ndarray]):
+    """Concatenate mip levels along width into one [N, C, Ha, Wa] texture.
+
+    Returns (atlas, w_tab, h_tab, xoff_tab) where the tables are [Q] int32
+    per-level width/height/x-offset (y-offset is always 0).
+    """
+    n, c = levels[0].shape[:2]
+    hs = [lvl.shape[2] for lvl in levels]
+    ws = [lvl.shape[3] for lvl in levels]
+    ha = max(hs)
+    xoffs = []
+    off = 0
+    for w in ws:
+        xoffs.append(off)
+        off += w
+    wa = off
+    atlas = jnp.zeros((n, c, ha, wa), levels[0].dtype)
+    for lvl, xo in zip(levels, xoffs):
+        atlas = jax.lax.dynamic_update_slice(atlas, lvl, (0, 0, 0, xo))
+    return (
+        atlas,
+        jnp.asarray(ws, jnp.int32),
+        jnp.asarray(hs, jnp.int32),
+        jnp.asarray(xoffs, jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-pixel-level coordinate math (align_corners always False)
+# --------------------------------------------------------------------------
+
+
+def _unnormalize_dyn(coord: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] -> pixel space with a per-pixel size array (align_corners=F)."""
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _reflect_dyn(x: jnp.ndarray, low, high) -> jnp.ndarray:
+    span = high - low
+    span = jnp.where(span == 0, 1.0, span)
+    cc = jnp.abs(x - low)
+    extra = jnp.mod(cc, span)
+    flips = jnp.floor(cc / span)
+    return jnp.where(jnp.mod(flips, 2.0) == 0.0, extra + low, span - extra + low)
+
+
+def _fold_dyn(x: jnp.ndarray, size: jnp.ndarray, padding_mode: str) -> jnp.ndarray:
+    """compute_source_index padding fold with per-pixel sizes
+    (grid_utils.h:68-81; align_corners=False)."""
+    if padding_mode == "border":
+        return jnp.clip(x, 0.0, size - 1.0)
+    if padding_mode == "reflection":
+        x = _reflect_dyn(x, -0.5, size - 0.5)
+        return jnp.clip(x, 0.0, size - 1.0)
+    return x  # zeros: raw coords, taps bounds-checked at gather time
+
+
+def _gather_atlas(
+    atlas: jnp.ndarray,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    wp: jnp.ndarray,
+    hp: jnp.ndarray,
+    xoff: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gather atlas[n, :, iy, xoff + ix] with per-level bounds masking.
+
+    ix/iy: [N, *S] int32 level-local tap indices; wp/hp/xoff broadcastable
+    to the same shape. Out-of-level taps return 0 (the zeros-padding
+    contract; border/reflection pre-fold so they never go out of level).
+    Returns [N, C, *S].
+    """
+    inb = (ix >= 0) & (ix < wp) & (iy >= 0) & (iy < hp)
+    ixc = jnp.clip(ix, 0, wp - 1) + xoff
+    iyc = jnp.clip(iy, 0, hp - 1)
+
+    def one(atlas_b, iy_b, ix_b):
+        return atlas_b[:, iy_b, ix_b]
+
+    out = jax.vmap(one)(atlas, iyc, ixc)
+    return jnp.where(inb[:, None], out, 0.0)
+
+
+def _sample_level_bilinear(atlas, u, v, wp, hp, xoff, padding_mode):
+    """Bilinear sample at normalized (u, v) from the per-pixel level
+    described by (wp, hp, xoff). All of u/v/wp/hp/xoff are [N, *S]."""
+    x = _fold_dyn(_unnormalize_dyn(u, wp.astype(u.dtype)), wp.astype(u.dtype), padding_mode)
+    y = _fold_dyn(_unnormalize_dyn(v, hp.astype(u.dtype)), hp.astype(u.dtype), padding_mode)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = (x - x0f)[:, None]
+    ty = (y - y0f)[:, None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    v00 = _gather_atlas(atlas, x0, y0, wp, hp, xoff)
+    v01 = _gather_atlas(atlas, x0 + 1, y0, wp, hp, xoff)
+    v10 = _gather_atlas(atlas, x0, y0 + 1, wp, hp, xoff)
+    v11 = _gather_atlas(atlas, x0 + 1, y0 + 1, wp, hp, xoff)
+    return (
+        v00 * (1 - tx) * (1 - ty)
+        + v01 * tx * (1 - ty)
+        + v10 * (1 - tx) * ty
+        + v11 * tx * ty
+    )
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    t2 = t * t
+    t3 = t2 * t
+    w0 = a * (t3 - 2 * t2 + t)
+    w1 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w3 = a * (t2 - t3)
+    return (w0, w1, w2, w3)
+
+
+def _sample_level_bicubic(atlas, u, v, wp, hp, xoff, padding_mode):
+    """Bicubic (A=-0.75) sample; per-tap bounding like get_value_bounded
+    (grid_utils.h:83-120)."""
+    dt = u.dtype
+    wpf = wp.astype(dt)
+    hpf = hp.astype(dt)
+    x = _unnormalize_dyn(u, wpf)
+    y = _unnormalize_dyn(v, hpf)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = _cubic_weights(x - x0f)
+    wy = _cubic_weights(y - y0f)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def bound(idx, sizef):
+        vf = idx.astype(dt)
+        if padding_mode == "border":
+            vf = jnp.clip(vf, 0, sizef - 1)
+        elif padding_mode == "reflection":
+            vf = _reflect_dyn(vf, -0.5, sizef - 0.5)
+            vf = jnp.clip(vf, 0, sizef - 1)
+        return vf.astype(jnp.int32)
+
+    out = 0.0
+    for j in range(4):
+        raw_iy = y0 + (j - 1)
+        iy = raw_iy if padding_mode == "zeros" else bound(raw_iy, hpf)
+        row = 0.0
+        for i in range(4):
+            raw_ix = x0 + (i - 1)
+            ix = raw_ix if padding_mode == "zeros" else bound(raw_ix, wpf)
+            tap = _gather_atlas(atlas, ix, iy, wp, hp, xoff)
+            row = row + tap * wx[i][:, None]
+        out = out + row * wy[j][:, None]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Main op
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_aniso",
+        "mode",
+        "padding_mode",
+        "force_max_aniso",
+        "clip_grad",
+    ),
+)
+def _mipmap_grid_sample_impl(
+    levels: Tuple[jnp.ndarray, ...],
+    grid: jnp.ndarray,
+    vt_dxdy_img: jnp.ndarray,
+    max_aniso: int,
+    mode: str,
+    padding_mode: str,
+    force_max_aniso: bool,
+    clip_grad: bool,
+) -> jnp.ndarray:
+    q = len(levels)
+    n, hout, wout = grid.shape[:3]
+    dt = grid.dtype
+    base_h, base_w = levels[0].shape[2:]
+
+    atlas, w_tab, h_tab, xoff_tab = _build_atlas(levels)
+
+    # ---- mip selection (kernel.cu:451-503), all non-differentiable --------
+    d = jax.lax.stop_gradient(vt_dxdy_img)  # [N, H, W, 2, 2]
+    dudx, dvdx = d[..., 0, 0], d[..., 0, 1]
+    dudy, dvdy = d[..., 1, 0], d[..., 1, 1]
+
+    px = jnp.sqrt((dudx * base_w) ** 2 + (dvdx * base_h) ** 2 + 1e-12)
+    py = jnp.sqrt((dudy * base_w) ** 2 + (dvdy * base_h) ** 2 + 1e-12)
+    p_max = jnp.maximum(px, py)
+    p_min = jnp.minimum(px, py)
+
+    n_taps = jnp.minimum(jnp.ceil(p_max / p_min), float(max_aniso))
+    n_taps = jnp.where((p_min == 0.0) | (n_taps == 0), 1.0, n_taps)
+
+    lam = jnp.log2(p_max / n_taps)
+    lam = jnp.where(jnp.isnan(lam) | jnp.isinf(lam), 0.0, lam)
+
+    l = jnp.minimum(lam, q - 1 - 1e-6)
+
+    if clip_grad:
+        # Truncated pyramid: rescale uv steps so taps stay texel-spaced.
+        scaling = jnp.where(
+            lam > q - 1, jnp.exp2(l) * n_taps / p_max, jnp.ones_like(lam)
+        )
+        dudx = dudx * scaling
+        dvdx = dvdx * scaling
+        dudy = dudy * scaling
+        dvdy = dvdy * scaling
+
+    l = jnp.maximum(l, 0.0)
+    d1 = jnp.floor(l).astype(jnp.int32)
+    a = (l - jnp.floor(l)).astype(dt)
+
+    n_int = n_taps.astype(jnp.int32)
+    if force_max_aniso:
+        n_int = jnp.full_like(n_int, max_aniso)
+    n_f = n_int.astype(dt)
+
+    # ---- tap coordinates ---------------------------------------------------
+    u = grid[..., 0]
+    v = grid[..., 1]
+
+    x_dom = px > py
+    du = jnp.where(x_dom, dudx, dudy).astype(dt)
+    dv = jnp.where(x_dom, dvdx, dvdy).astype(dt)
+
+    # i = 0..max_aniso-1 tap fractions: (i+1)/(N+1)*2-1, masked at i >= N.
+    i_arr = jnp.arange(max_aniso, dtype=dt)
+    frac = (i_arr + 1.0) / (n_f[..., None] + 1.0) * 2.0 - 1.0  # [N,H,W,T]
+    tap_mask = (i_arr[None, None, None] < n_f[..., None]).astype(dt)
+
+    u_t = u[..., None] + du[..., None] * frac  # [N, H, W, T]
+    v_t = v[..., None] + dv[..., None] * frac
+
+    # ---- per-pixel level parameters ---------------------------------------
+    def level_params(idx):  # idx [N, H, W] -> ([N,H,W],)*3
+        return w_tab[idx], h_tab[idx], xoff_tab[idx]
+
+    sample = (
+        _sample_level_bilinear if mode == "bilinear" else _sample_level_bicubic
+    )
+
+    def sample_taps(level_idx):
+        wp, hp, xoff = level_params(level_idx)
+        out = sample(
+            atlas,
+            u_t,
+            v_t,
+            wp[..., None],
+            hp[..., None],
+            xoff[..., None],
+            padding_mode,
+        )  # [N, C, H, W, T]
+        return jnp.sum(out * tap_mask[:, None], axis=-1)  # [N, C, H, W]
+
+    inv_n = 1.0 / n_f
+    out = sample_taps(d1) * ((1.0 - a) * inv_n)[:, None]
+    if q > 1:
+        out = out + sample_taps(jnp.minimum(d1 + 1, q - 1)) * (a * inv_n)[:, None]
+    return out
+
+
+def mipmap_grid_sample(
+    input: List[jnp.ndarray],
+    grid: jnp.ndarray,
+    vt_dxdy_img: jnp.ndarray,
+    max_aniso: int,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: Optional[bool] = None,
+    force_max_aniso: Optional[bool] = False,
+    clip_grad: Optional[bool] = False,
+) -> jnp.ndarray:
+    """Mipmapped, anisotropic texture sampling.
+
+    Mirrors ``drtk.mipmap_grid_sample`` (drtk/mipmap_grid_sample.py:18-127).
+
+    Args:
+        input: mip pyramid — list of [N, C, H_i, W_i] textures, highest
+            resolution first; up to 11 levels; levels need not halve exactly.
+        grid: [N, H_out, W_out, 2] normalized uv field.
+        vt_dxdy_img: [N, H_out, W_out, 2, 2] Jacobian of uv w.r.t. pixel
+            position (rows: d/dx, d/dy), in normalized (0..1) uv units.
+        max_aniso: maximum anisotropic tap count.
+        mode: "bilinear" | "bicubic" (no nearest, like the reference).
+        padding_mode: "zeros" | "border" | "reflection".
+        align_corners: must be falsy; the kernel forces False (kernel.cu:423).
+        force_max_aniso: always take max_aniso taps (parity/debug mode).
+        clip_grad: rescale uv steps when the pyramid is truncated.
+
+    Returns:
+        [N, C, H_out, W_out] filtered samples. Gradients flow to the texture
+        levels and the grid (not to vt_dxdy_img), like the reference.
+    """
+    if mode not in ("bilinear", "bicubic"):
+        raise ValueError(
+            "mipmap_grid_sample(): only 'bilinear' and 'bicubic' modes are "
+            f"supported but got: '{mode}'"
+        )
+    if padding_mode not in ("zeros", "border", "reflection"):
+        raise ValueError(
+            "mipmap_grid_sample(): expected padding_mode to be 'zeros', "
+            f"'border', or 'reflection', but got: '{padding_mode}'"
+        )
+    if not input:
+        raise ValueError("mipmap_grid_sample(): empty mip pyramid")
+    if len(input) > _MAX_MIPMAP_COUNT:
+        raise ValueError(
+            f"mipmap_grid_sample(): at most {_MAX_MIPMAP_COUNT} mip levels "
+            f"are supported, got {len(input)}"
+        )
+    for lvl in input:
+        if lvl.ndim != 4:
+            raise ValueError(
+                f"mipmap_grid_sample(): levels must be [N, C, H, W], got {lvl.shape}"
+            )
+    if grid.ndim != 4 or grid.shape[-1] != 2:
+        raise ValueError(
+            f"mipmap_grid_sample(): grid must be [N, H, W, 2], got {grid.shape}"
+        )
+    if vt_dxdy_img.ndim != 5 or vt_dxdy_img.shape[-2:] != (2, 2):
+        raise ValueError(
+            "mipmap_grid_sample(): vt_dxdy_img must be [N, H, W, 2, 2], got "
+            f"{vt_dxdy_img.shape}"
+        )
+    if max_aniso < 1:
+        raise ValueError("mipmap_grid_sample(): max_aniso must be >= 1")
+    return _mipmap_grid_sample_impl(
+        tuple(input),
+        grid,
+        vt_dxdy_img,
+        int(max_aniso),
+        mode,
+        padding_mode,
+        bool(force_max_aniso),
+        bool(clip_grad),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference oracle (port of mipmap_grid_sample_ref, drtk/mipmap_grid_sample
+# .py:130-295)
+# --------------------------------------------------------------------------
+
+
+def _mipmap_selection_ref(q, p_max, p_min, max_aniso):
+    if max_aniso != 1:
+        n_taps = jnp.minimum(jnp.ceil(p_max / p_min), float(max_aniso))
+        n_taps = jnp.where(jnp.isnan(n_taps), 1.0, n_taps)
+        lam = jnp.log2(p_max / n_taps)
+    else:
+        lam = jnp.log2(p_max)
+    lam = jnp.where(jnp.isinf(lam), 0.0, lam)
+    lam = jnp.clip(lam, 0.0, q - 1 - 1e-6)
+    d1 = jnp.floor(lam).astype(jnp.int32)
+    a = lam - jnp.floor(lam)
+    return d1, a
+
+
+def mipmap_grid_sample_ref(
+    input: List[jnp.ndarray],
+    grid: jnp.ndarray,
+    vt_dxdy_img: jnp.ndarray,
+    max_aniso: int,
+    mode: str = "bilinear",
+    padding_mode: str = "border",
+    align_corners: Optional[bool] = False,
+    high_quality: bool = False,
+) -> jnp.ndarray:
+    """Oracle port of the reference's pure-torch ``mipmap_grid_sample_ref``.
+
+    The main implementation should match this when called with
+    ``force_max_aniso=True`` and ``clip_grad=False`` and this with
+    ``high_quality=False`` (the documented equivalence contract,
+    drtk/mipmap_grid_sample.py:140-147).
+    """
+    from drtk_tpu.ops.grid_sample import grid_sample
+
+    q = len(input)
+    base_h, base_w = input[0].shape[2:]
+    size = jnp.asarray([base_h, base_w], grid.dtype)
+
+    d = jax.lax.stop_gradient(vt_dxdy_img)
+    d_pix = d * size[None, None, None, :]
+
+    px = jnp.linalg.norm(d_pix[..., 0, :], axis=-1)
+    py = jnp.linalg.norm(d_pix[..., 1, :], axis=-1)
+
+    if not high_quality:
+        p_max = jnp.maximum(px, py)
+        p_min = jnp.minimum(px, py) if max_aniso != 1 else None
+    else:
+        s = jnp.linalg.svd(d_pix, compute_uv=False)
+        p_max = s[..., 0]
+        p_min = s[..., 1]
+
+    d1, a = _mipmap_selection_ref(q, p_max, p_min, max_aniso)
+
+    if max_aniso != 1:
+        fracs = [
+            (j + 1.0) / (max_aniso + 1.0) * 2.0 - 1.0 for j in range(max_aniso)
+        ]
+        if not high_quality:
+            uv_step_x = d[..., 0, :]
+            uv_step_y = d[..., 1, :]
+            uv_ext = [
+                jnp.where(
+                    (px > py)[..., None],
+                    grid + uv_step_x * f,
+                    grid + uv_step_y * f,
+                )
+                for f in fracs
+            ]
+        else:
+            _, s_, vt_ = jnp.linalg.svd(d_pix)
+            uv_step = (vt_[..., 0, :] * s_[..., 0:1]) / size[None, None, None, :]
+            uv_ext = [grid + uv_step * f for f in fracs]
+
+    result = []
+    for level in input:
+        if max_aniso == 1:
+            r = grid_sample(
+                level, grid, mode=mode, padding_mode=padding_mode,
+                align_corners=bool(align_corners),
+            )
+        else:
+            taps = [
+                grid_sample(
+                    level, g, mode=mode, padding_mode=padding_mode,
+                    align_corners=bool(align_corners),
+                )
+                for g in uv_ext
+            ]
+            r = sum(taps) / max_aniso
+        result.append(r)
+
+    if q == 1:
+        return result[0]
+    stacked = jnp.stack(result, axis=0)  # [Q, N, C, H, W]
+
+    def gather_level(idx):  # [N, H, W] -> [N, C, H, W]
+        return jnp.take_along_axis(
+            jnp.moveaxis(stacked, 0, -1),  # [N, C, H, W, Q]
+            jnp.broadcast_to(
+                idx[:, None, :, :, None],
+                (stacked.shape[1], stacked.shape[2]) + idx.shape[1:] + (1,),
+            ),
+            axis=-1,
+        )[..., 0]
+
+    s0 = gather_level(d1)
+    s1 = gather_level(jnp.minimum(d1 + 1, q - 1))
+    return s0 + (s1 - s0) * a[:, None].astype(s0.dtype)
