@@ -17,6 +17,7 @@ from drtk_tpu.ops.interpolate import (  # noqa
     interpolation_matrix,
     interpolation_normal_matrix,
 )
+from drtk_tpu.ops.grid_scatter import grid_scatter, grid_scatter_ref  # noqa
 from drtk_tpu.ops.mipmap_grid_sample import (  # noqa
     mipmap_grid_sample,
     mipmap_grid_sample_ref,

@@ -1,0 +1,106 @@
+"""Tests for drtk_tpu.ops.grid_scatter.
+
+Checks: (a) exact adjointness against our grid_sample (the defining
+property), (b) parity with the autograd-trick reference implementation,
+(c) gradient parity, (d) forward parity against a torch-CPU oracle built
+with the same double-backward trick as the reference's grid_scatter_ref.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drtk_tpu.ops.grid_sample import grid_sample
+from drtk_tpu.ops.grid_scatter import grid_scatter, grid_scatter_ref
+
+
+def make_case(key, n=2, c=3, h=9, w=11, oh=7, ow=8):
+    k1, k2 = jax.random.split(key)
+    inp = jax.random.normal(k1, (n, c, h, w), jnp.float32)
+    grid = jax.random.uniform(k2, (n, h, w, 2), jnp.float32, -1.3, 1.3)
+    return inp, grid, oh, ow
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("pad", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align", [False, True])
+def test_adjointness(mode, pad, align):
+    inp, grid, oh, ow = make_case(jax.random.PRNGKey(0))
+    out = grid_scatter(inp, grid, oh, ow, mode, pad, align)
+    y = jax.random.normal(jax.random.PRNGKey(1), out.shape, jnp.float32)
+    lhs = jnp.sum(out * y)
+    rhs = jnp.sum(inp * grid_sample(y, grid, mode, pad, align))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("pad", ["zeros", "border", "reflection"])
+def test_matches_ref(mode, pad):
+    inp, grid, oh, ow = make_case(jax.random.PRNGKey(2))
+    out = grid_scatter(inp, grid, oh, ow, mode, pad)
+    ref = grid_scatter_ref(inp, grid, oh, ow, mode, pad)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+def test_gradients_match_ref(mode):
+    inp, grid, oh, ow = make_case(jax.random.PRNGKey(3), h=6, w=7, oh=5, ow=5)
+    tgt = jax.random.normal(jax.random.PRNGKey(4), (2, 3, oh, ow), jnp.float32)
+
+    def loss(fn, inp, grid):
+        return jnp.sum((fn(inp, grid, oh, ow, mode, "border") - tgt) ** 2)
+
+    g_main = jax.grad(lambda i, g: loss(grid_scatter, i, g), (0, 1))(inp, grid)
+    g_ref = jax.grad(lambda i, g: loss(grid_scatter_ref, i, g), (0, 1))(inp, grid)
+    np.testing.assert_allclose(g_main[0], g_ref[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_main[1], g_ref[1], rtol=1e-4, atol=1e-5)
+
+
+def test_grad_grid_finite_differences():
+    inp, grid, oh, ow = make_case(jax.random.PRNGKey(5), n=1, c=1, h=4, w=4,
+                                  oh=6, ow=6)
+    inp = inp.astype(jnp.float64)
+    grid = (grid * 0.6).astype(jnp.float64)
+
+    def f(g):
+        return jnp.sum(grid_scatter(inp, g, oh, ow, "bilinear", "zeros") ** 2)
+
+    g_an = jax.grad(f)(grid)
+    eps = 1e-6
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        d = rng.randn(*grid.shape)
+        d = jnp.asarray(d / np.linalg.norm(d))
+        fd = (f(grid + eps * d) - f(grid - eps * d)) / (2 * eps)
+        an = jnp.sum(g_an * d)
+        np.testing.assert_allclose(fd, an, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("pad", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align", [False, True])
+def test_torch_oracle_forward(mode, pad, align):
+    torch = pytest.importorskip("torch")
+    inp, grid, oh, ow = make_case(jax.random.PRNGKey(6))
+    out = grid_scatter(inp, grid, oh, ow, mode, pad, align)
+
+    t_in = torch.from_numpy(np.asarray(inp))
+    t_grid = torch.from_numpy(np.asarray(grid))
+    tex = torch.ones(inp.shape[0], inp.shape[1], oh, ow, requires_grad=True)
+    sampled = torch.nn.functional.grid_sample(
+        tex, t_grid, mode=mode, padding_mode=pad, align_corners=align
+    )
+    sampled.backward(t_in)
+    np.testing.assert_allclose(out, tex.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_validation_errors():
+    inp = jnp.zeros((1, 1, 4, 4))
+    grid = jnp.zeros((1, 4, 4, 2))
+    with pytest.raises(ValueError):
+        grid_scatter(inp, grid, 4, 4, mode="nearest")
+    with pytest.raises(ValueError):
+        grid_scatter(inp, grid, 4, 4, padding_mode="wrap")
+    with pytest.raises(ValueError):
+        grid_scatter(inp, jnp.zeros((1, 5, 4, 2)), 4, 4)
