@@ -22,6 +22,7 @@ from drtk_tpu.ops.mipmap_grid_sample import (  # noqa
     mipmap_grid_sample,
     mipmap_grid_sample_ref,
 )
+from drtk_tpu.ops.msi import msi  # noqa
 from drtk_tpu.ops.rasterize import rasterize, rasterize_with_depth  # noqa
 from drtk_tpu.ops.render import render, render_ref  # noqa
 from drtk_tpu.transform import transform, transform_with_v_cam  # noqa
