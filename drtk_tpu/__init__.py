@@ -11,6 +11,16 @@ of warp shuffles, mesh sharding instead of grid-stride loops).
 
 from drtk_tpu import utils  # noqa
 from drtk_tpu.ops.edge_grad import edge_grad_estimator, edge_grad_estimator_ref  # noqa
+from drtk_tpu.ops.filter2d import (  # noqa
+    FilterOptions,
+    FilterType,
+    downsample,
+    filter,
+    low_pass_filter,
+    make_resampling_kernel,
+    resample_filter,
+    upsample,
+)
 from drtk_tpu.ops.interpolate import (  # noqa
     interpolate,
     interpolate_ref,

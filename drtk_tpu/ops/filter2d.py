@@ -1,0 +1,422 @@
+"""Alias-free separable resampling filters (StyleGAN3-style), TPU-native.
+
+Equivalent of the reference's ``filter2d_ext`` (`src/filter2d/` in
+facebookresearch/DRTK): windowed-sinc Kaiser / Lanczos filter design plus a
+fused upsample-by-zero-insertion -> separable convolution -> downsample
+resampler with reflection or zero padding.
+
+TPU-first design
+----------------
+
+The reference fuses zero-insertion + H conv + V conv + stride into one CUDA
+kernel with shared-memory tiles and a compile-time specialization table
+(`filter2d_kernel.cu:8-216`). On TPU the same fusion is what
+``lax.conv_general_dilated`` *is*: ``lhs_dilation`` performs the
+zero-insertion, ``window_strides`` the downsampling, and negative padding
+the crop that reflection alignment needs — all lowered by XLA onto the
+convolution hardware path. We run the two separable passes as two dilated
+convs with channels folded into the batch; XLA pipelines them without a
+materialized intermediate the way the CUDA kernel stages its two
+shared-memory tiles.
+
+Semantics preserved (verified against `src/filter2d/filter2d.cpp:14-159`):
+
+* output size  = ``(in*up + pad0 + pad1 - k + down) // down`` with
+  ``pad0 = calc_pad_0(k, down, up)``, ``pad1 = calc_pad_1(k, down, up)``
+  (`filter2d_kernel.h:8-28`).
+* forward convolves with the *flipped* filter (true convolution); the
+  backward op uses the unflipped filter and mirrored pad origin
+  ``k - calc_pad_0(k, up, down) - 1`` — the adjoint of the polyphase
+  resampler (`module.cpp:23-55`, `filter2d.cpp:24-29`).
+* reflection padding is applied in *input* space (before zero-insertion) by
+  ``ceil(pad/up)`` pixels and the excess cropped after dilation
+  (`filter2d.cpp:50-98`).
+* the autograd backward is the same op with up/down swapped and the
+  backward flag toggled (`module.cpp:23-55`) — including for reflection
+  padding, where this is the reference's deliberate approximation of the
+  true adjoint (it re-reflects instead of folding borders back). We
+  reproduce it with a custom VJP rather than JAX autodiff to match
+  gradients exactly.
+
+Filter design (`src/filter2d/filter_weights.cpp:37-96,155-183`): cutoff
+``fc_s = 1/(2 freq_div) - fh_s * alias_guard_band`` with transition
+half-width ``fh_s = (sqrt(2)-1) / (2 freq_div)``; Kaiser beta from the
+standard attenuation formula with ``A = 2.285 (n-1) pi df + 7.95``;
+Lanczos windowed to ``a = ceil(2 fc_s (n-1) / (2 m))`` lobes. Kernels are
+built host-side in float64 numpy and cached per parameter tuple, mirroring
+the reference's mutex-guarded kernel cache (`filter_weights.cpp:98-152`).
+"""
+
+from __future__ import annotations
+
+import functools
+from enum import Enum
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "FilterType",
+    "FilterOptions",
+    "resample_filter",
+    "filter",
+    "low_pass_filter",
+    "downsample",
+    "upsample",
+    "make_resampling_kernel",
+]
+
+
+class FilterType(Enum):
+    """Filter families supported by :func:`make_resampling_kernel`."""
+
+    Kaiser = 0
+    Lanczos = 1
+
+
+class FilterOptions:
+    """Options used to construct filter2d resampling kernels.
+
+    Mirrors ``drtk.filter2d.FilterOptions`` (drtk/filter2d.py:100-170):
+    ``n_taps`` input pixels influence each output pixel; ``alias_guard_band``
+    in [0, 1] moves the cutoff from the bandlimit (0.0, least blurry) to one
+    transition half-width below it (1.0). ``alias_suppression_level`` is the
+    backward-compatible alias.
+    """
+
+    __slots__ = ("n_taps", "filter_type", "alias_guard_band")
+
+    def __init__(
+        self,
+        n_taps: int = 6,
+        filter_type: FilterType = FilterType.Kaiser,
+        alias_guard_band: Optional[float] = None,
+        alias_suppression_level: Optional[float] = None,
+    ) -> None:
+        if alias_guard_band is None:
+            value = 0.0 if alias_suppression_level is None else alias_suppression_level
+        else:
+            if (
+                alias_suppression_level is not None
+                and alias_guard_band != alias_suppression_level
+            ):
+                raise ValueError(
+                    "FilterOptions: specify only one of alias_guard_band and "
+                    "alias_suppression_level"
+                )
+            value = alias_guard_band
+        if not isinstance(filter_type, FilterType):
+            raise TypeError(
+                f"filter2d: filter_type must be a FilterType value, but got "
+                f"{filter_type!r}"
+            )
+        self.n_taps = n_taps
+        self.filter_type = filter_type
+        self.alias_guard_band = value
+
+    @property
+    def alias_suppression_level(self) -> float:
+        return self.alias_guard_band
+
+    @alias_suppression_level.setter
+    def alias_suppression_level(self, value: float) -> None:
+        self.alias_guard_band = value
+
+
+# --------------------------------------------------------------------------
+# Filter design (host-side numpy, cached — filter_weights.cpp)
+# --------------------------------------------------------------------------
+
+_KERNEL_CACHE: Dict[Tuple, np.ndarray] = {}
+
+
+def _make_kernel_kaiser(n: int, fh_s: float, fc_s: float, m: int,
+                        gain: float) -> np.ndarray:
+    """make_filter_kernel_kaiser (filter_weights.cpp:37-72)."""
+    n = n * m
+    length = float(n - 1) / float(m)
+    df = (2.0 * fh_s) / (float(m) / 2.0)
+    attenuation = 2.285 * (n - 1) * np.pi * df + 7.95
+    if attenuation > 50.0:
+        beta = 0.1102 * (attenuation - 8.7)
+    elif attenuation < 21.0:
+        beta = 0.0
+    else:
+        beta = 0.5842 * (attenuation - 21) ** 0.4 + 0.07886 * (attenuation - 21)
+
+    i = np.arange(n, dtype=np.float64)
+    x = (i - (n - 1) / 2.0) / float(m)
+    arg = 1.0 - (2.0 * x / length) ** 2 if n > 1 else np.ones_like(x)
+    window = np.i0(beta * np.sqrt(np.maximum(arg, 0.0))) / np.i0(beta)
+    v = window * 2.0 * fc_s * np.sinc(2.0 * fc_s * x)
+    return (v * (gain / v.sum())).astype(np.float32)
+
+
+def _make_kernel_lanczos(n: int, fc_s: float, m: int, gain: float) -> np.ndarray:
+    """make_filter_kernel_lanczos (filter_weights.cpp:74-96)."""
+    n = n * m
+    a = np.ceil(2.0 * fc_s * (float(n) - 1.0) / 2.0 / float(m))
+    i = np.arange(n, dtype=np.float64)
+    x = (i - (n - 1) / 2.0) / float(m)
+    v = (
+        2.0 * fc_s * np.sinc(2.0 * fc_s * x)
+        * np.sinc(2.0 * fc_s * x / a)
+        * (np.abs(2.0 * fc_s * x) < a).astype(np.float64)
+    )
+    return (v * (gain / v.sum())).astype(np.float32)
+
+
+def make_resampling_kernel(
+    filter_options: FilterOptions,
+    m: int = 1,
+    freq_div: float = 1.0,
+    gain: float = 1.0,
+    device=None,
+) -> jnp.ndarray:
+    """Build a 1-D low-pass resampling filter of length ``n_taps * m``.
+
+    Mirrors ``drtk.make_resampling_kernel`` (drtk/filter2d.py:321-355 and
+    filter_weights.cpp:155-183). ``device`` is accepted for API parity and
+    used with ``jax.device_put`` when given.
+    """
+    n = int(filter_options.n_taps)
+    if n < 1:
+        raise ValueError("n must be at least 1")
+    if m < 1:
+        raise ValueError("m must be at least 1")
+    if not (np.isfinite(freq_div) and freq_div > 0.0):
+        raise ValueError("freq_div must be finite and greater than 0")
+    if not np.isfinite(gain):
+        raise ValueError("gain must be finite")
+    if not (np.isfinite(filter_options.alias_guard_band)
+            and filter_options.alias_guard_band >= 0.0):
+        raise ValueError("alias_guard_band must be finite and non-negative")
+
+    # Cutoff placement (filter_weights.cpp:175-176). Matches the float32
+    # exp2f of the reference.
+    fh_s = float(np.exp2(np.float32(0.5)) - 1) / 2.0 / freq_div
+    fc_s = 1.0 / 2.0 / freq_div - fh_s * filter_options.alias_guard_band
+
+    key = (filter_options.filter_type, n, int(m), float(fh_s), float(fc_s),
+           float(gain))
+    w = _KERNEL_CACHE.get(key)
+    if w is None:
+        if filter_options.filter_type == FilterType.Kaiser:
+            w = _make_kernel_kaiser(n, fh_s, fc_s, int(m), gain)
+        else:
+            w = _make_kernel_lanczos(n, fc_s, int(m), gain)
+        _KERNEL_CACHE[key] = w
+    out = jnp.asarray(w)
+    if device is not None:
+        out = jax.device_put(out, device)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Pad arithmetic (filter2d_kernel.h:8-28, filter2d.cpp:14-29)
+# --------------------------------------------------------------------------
+
+
+def _calc_pad_0(k_size: int, down: int, up: int) -> int:
+    if down == 1 and up == 1:
+        return k_size // 2
+    if down != 1:
+        return (k_size - down + 1) // 2
+    return (k_size + up - 1) // 2
+
+
+def _calc_pad_1(k_size: int, down: int, up: int) -> int:
+    if down == 1 and up == 1:
+        return (k_size - 1) // 2
+    if down != 1:
+        return (k_size - down) // 2
+    return (k_size - up) // 2
+
+
+def _output_size(in_size: int, k: int, up: int, down: int) -> int:
+    pad = _calc_pad_0(k, down, up) + _calc_pad_1(k, down, up)
+    return (in_size * up + pad - k + down) // down
+
+
+# --------------------------------------------------------------------------
+# Fused resampler via dilated separable convolutions
+# --------------------------------------------------------------------------
+
+
+def _sep_conv(x: jnp.ndarray, f: jnp.ndarray, axis: int, up: int, down: int,
+              pad: Tuple[int, int]) -> jnp.ndarray:
+    """1-D dilated conv along H (axis=2) or W (axis=3) of an NCHW tensor,
+    channels folded into the batch. ``f`` is applied as correlation."""
+    n, c, h, w = x.shape
+    k = f.shape[0]
+    xb = x.reshape(n * c, 1, h, w)
+    if axis == 3:
+        rhs = f.reshape(1, 1, 1, k)
+        strides = (1, down)
+        lhs_dilation = (1, up)
+        padding = ((0, 0), pad)
+    else:
+        rhs = f.reshape(1, 1, k, 1)
+        strides = (down, 1)
+        lhs_dilation = (up, 1)
+        padding = (pad, (0, 0))
+    out = jax.lax.conv_general_dilated(
+        xb,
+        rhs.astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out.reshape(n, c, out.shape[2], out.shape[3])
+
+
+def _filter2d_fused(x, f, up, down, backward, reflect):
+    """filter2d_fused semantics (filter2d.cpp:119-159) in XLA."""
+    k = f.shape[0]
+    # Forward applies the flipped filter (true convolution); backward the
+    # unflipped one (filter2d.cpp:139).
+    fk = f if backward else f[::-1]
+
+    total_pad = _calc_pad_0(k, down, up) + _calc_pad_1(k, down, up)
+    if backward:
+        pad0 = k - _calc_pad_0(k, up, down) - 1
+    else:
+        pad0 = _calc_pad_0(k, down, up)
+    pad1 = total_pad - pad0
+    if pad0 < 0 or pad1 < 0:
+        raise ValueError(
+            "filter2d padding must be non-negative; filter length is too "
+            "small for the sampling factors"
+        )
+
+    out_h = _output_size(x.shape[2], k, up, down)
+    out_w = _output_size(x.shape[3], k, up, down)
+    if out_h < 1 or out_w < 1:
+        raise ValueError("output must be at least 1x1")
+
+    if reflect:
+        # Reflect in input space, crop the excess post-dilation via negative
+        # conv padding (filter2d.cpp:50-98).
+        ipad0 = -(-pad0 // up)
+        ipad1 = -(-pad1 // up)
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (ipad0, ipad1), (ipad0, ipad1)), mode="reflect"
+        )
+        conv_pad = (pad0 - ipad0 * up, pad1 + (up - 1) - ipad1 * up)
+    else:
+        # lhs_dilation drops the trailing zeros that insert_zeros keeps;
+        # restore them through the conv padding.
+        conv_pad = (pad0, pad1 + (up - 1))
+
+    x = _sep_conv(x, fk, 3, up, down, conv_pad)
+    x = _sep_conv(x, fk, 2, up, down, conv_pad)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _resample_core(x, f, up, down, backward, reflect):
+    return _filter2d_fused(x, f, up, down, backward, reflect)
+
+
+def _resample_core_fwd(x, f, up, down, backward, reflect):
+    return _filter2d_fused(x, f, up, down, backward, reflect), f
+
+
+def _resample_core_bwd(up, down, backward, reflect, f, g):
+    # The adjoint resampler: up/down swapped, backward flag toggled
+    # (module.cpp:23-55). No filter gradient, like the reference.
+    gx = _resample_core(g, f, down, up, not backward, reflect)
+    return gx, None
+
+
+_resample_core.defvjp(_resample_core_fwd, _resample_core_bwd)
+
+
+def _check_args(x, f, up, down, padding_mode):
+    if padding_mode == "reflection":
+        reflect = True
+    elif padding_mode == "zeros":
+        reflect = False
+    else:
+        raise NotImplementedError(
+            "filter2d: expected padding_mode to be 'zeros' or 'reflection', "
+            f"but got: {padding_mode!r}"
+        )
+    if x.ndim != 4:
+        raise ValueError("x must be rank 4")
+    if f.ndim != 1:
+        raise ValueError("f must be rank 1")
+    if f.shape[0] < 1:
+        raise ValueError("f must be at least 1x1")
+    if up < 1:
+        raise ValueError("upsampling factor must be at least 1")
+    if down < 1:
+        raise ValueError("downsampling factor must be at least 1")
+    return reflect
+
+
+def resample_filter(
+    x: jnp.ndarray,
+    f: jnp.ndarray,
+    up: int = 1,
+    down: int = 1,
+    padding_mode: str = "reflection",
+) -> jnp.ndarray:
+    """Resample an NCHW tensor with a separable 1-D filter.
+
+    Mirrors ``drtk.resample_filter`` (drtk/filter2d.py:173-208): upsample by
+    zero-interleaving, convolve with ``f`` along both spatial dims,
+    downsample by dropping samples.
+    """
+    reflect = _check_args(x, f, up, down, padding_mode)
+    return _resample_core(x, f, int(up), int(down), False, reflect)
+
+
+def filter(
+    x: jnp.ndarray, f: jnp.ndarray, padding_mode: str = "reflection"
+) -> jnp.ndarray:
+    """Filter an NCHW tensor without changing its spatial size
+    (drtk/filter2d.py:211-233)."""
+    return resample_filter(x, f, 1, 1, padding_mode)
+
+
+def upsample(
+    x: jnp.ndarray,
+    filter_options: FilterOptions,
+    upsample_factor: int = 2,
+    padding_mode: str = "reflection",
+) -> jnp.ndarray:
+    """Upsample an NCHW tensor by ``upsample_factor``
+    (drtk/filter2d.py:236-263; gain = m preserves magnitude,
+    module.cpp:120-127)."""
+    f = make_resampling_kernel(
+        filter_options, upsample_factor, 1.0, float(upsample_factor)
+    )
+    return resample_filter(x, f, upsample_factor, 1, padding_mode)
+
+
+def downsample(
+    x: jnp.ndarray,
+    filter_options: FilterOptions,
+    downsample_factor: int = 2,
+    padding_mode: str = "reflection",
+) -> jnp.ndarray:
+    """Downsample an NCHW tensor by ``downsample_factor``
+    (drtk/filter2d.py:266-293; module.cpp:96-103)."""
+    f = make_resampling_kernel(filter_options, downsample_factor, 1.0, 1.0)
+    return resample_filter(x, f, 1, downsample_factor, padding_mode)
+
+
+def low_pass_filter(
+    x: jnp.ndarray,
+    filter_options: FilterOptions,
+    freq_div: float = 1.0,
+    padding_mode: str = "reflection",
+) -> jnp.ndarray:
+    """Low-pass filter an NCHW tensor without changing its size
+    (drtk/filter2d.py:296-318; module.cpp:72-79)."""
+    f = make_resampling_kernel(filter_options, 1, freq_div, 1.0)
+    return resample_filter(x, f, 1, 1, padding_mode)
