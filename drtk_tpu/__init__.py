@@ -35,6 +35,7 @@ from drtk_tpu.ops.mipmap_grid_sample import (  # noqa
 from drtk_tpu.ops.msi import msi  # noqa
 from drtk_tpu.ops.rasterize import rasterize, rasterize_with_depth  # noqa
 from drtk_tpu.ops.render import render, render_ref  # noqa
+from drtk_tpu.screen_space_uv_derivative import screen_space_uv_derivative  # noqa
 from drtk_tpu.transform import transform, transform_with_v_cam  # noqa
 
 __version__ = "0.1.0"
