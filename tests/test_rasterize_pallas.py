@@ -1,0 +1,104 @@
+"""Parity tests: the tile-binned Pallas rasterizer (interpret mode on CPU)
+must match the portable XLA rasterizer bit-for-bit — same index image, same
+depth — across mesh shapes that exercise binning, the global list
+(oversized triangles), bin overflow, and batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drtk_tpu.ops.rasterize import _rasterize_xla
+from drtk_tpu.ops.rasterize_pallas import rasterize_pallas
+from tests.utils import random_mesh, two_triangles_scene
+
+
+def assert_match(v, vi, h, w):
+    vi = jnp.broadcast_to(vi[None], (v.shape[0],) + vi.shape) if vi.ndim == 2 else vi
+    d_ref, i_ref = jax.jit(
+        lambda v, vi: _rasterize_xla(v, vi, h, w)
+    )(v.astype(jnp.float32), vi)
+    d_pal, i_pal = rasterize_pallas(
+        v.astype(jnp.float32), vi, h, w, interpret=True
+    )
+    i_ref = np.asarray(i_ref)
+    i_pal = np.asarray(i_pal)
+    d_ref = np.asarray(d_ref)
+    d_pal = np.asarray(d_pal)
+    # Index winners may flip only where two triangles interpenetrate at
+    # (near-)equal depth: FMA-contraction ulps decide the z-test there.
+    mism = i_ref != i_pal
+    if mism.any():
+        assert mism.mean() < 1e-3, f"{mism.sum()} index mismatches"
+        near_tie = np.abs(d_ref - d_pal) <= 1e-4 * np.abs(d_ref) + 1e-6
+        assert near_tie[mism].all(), "index mismatch at non-tied depth"
+    # Depth may differ by FMA-contraction ulps between the two lowerings.
+    np.testing.assert_allclose(d_ref, d_pal, rtol=1e-4, atol=1e-6)
+
+
+def test_two_triangles():
+    v, vi, _ = two_triangles_scene(h=128, w=256)
+    assert_match(v, vi, 128, 256)
+
+
+def test_random_mesh():
+    v, vi = random_mesh(jax.random.PRNGKey(0), n=1, num_v=96, num_f=160,
+                        h=96, w=160)
+    assert_match(v, vi, 96, 160)
+
+
+def test_batched():
+    v, vi = random_mesh(jax.random.PRNGKey(1), n=3, num_v=64, num_f=96,
+                        h=64, w=128)
+    assert_match(v, vi, 64, 128)
+
+
+def test_nonaligned_size():
+    # h, w not multiples of the tile size.
+    v, vi = random_mesh(jax.random.PRNGKey(2), n=1, num_v=48, num_f=64,
+                        h=70, w=130)
+    assert_match(v, vi, 70, 130)
+
+
+def test_huge_triangles_use_global_list():
+    # Triangles covering most of the canvas exceed MAX_SPAN tiles.
+    rng = np.random.RandomState(3)
+    h = w = 256
+    xy = rng.uniform(-0.5, 1.5, (1, 30, 2)).astype(np.float32) * [w, h]
+    z = rng.uniform(2.0, 8.0, (1, 30, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1))
+    vi = jnp.asarray(rng.randint(0, 30, (40, 3)).astype(np.int32))
+    assert_match(v, vi, h, w)
+
+
+def test_bin_overflow_routes_to_global():
+    # Hundreds of tiny triangles crammed into one tile: counts > CAP force
+    # the overflow path.
+    rng = np.random.RandomState(4)
+    h, w = 64, 128
+    num_f = 600
+    centers = rng.uniform([10, 10], [60, 24], (num_f, 2)).astype(np.float32)
+    offs = rng.uniform(-2, 2, (num_f, 3, 2)).astype(np.float32)
+    pts = (centers[:, None] + offs).reshape(-1, 2)
+    z = rng.uniform(2, 9, (pts.shape[0], 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([pts, z], -1)[None])
+    vi = jnp.asarray(np.arange(num_f * 3, dtype=np.int32).reshape(num_f, 3))
+    assert_match(v, vi, h, w)
+
+
+def test_degenerate_and_culled():
+    v, vi = random_mesh(jax.random.PRNGKey(5), n=1, num_v=32, num_f=48,
+                        h=64, w=128)
+    vi = np.array(vi)
+    vi[:8] = 0  # degenerate padding faces
+    v = np.array(v)
+    v[0, 1:5, 2] = -1.0  # behind the camera -> near-plane cull
+    assert_match(jnp.asarray(v), jnp.asarray(vi), 64, 128)
+
+
+def test_empty_scene():
+    v = jnp.zeros((1, 3, 3), jnp.float32)
+    vi = jnp.zeros((1, 1, 3), jnp.int32)
+    d, i = rasterize_pallas(v, vi, 64, 128, interpret=True)
+    assert int(jnp.sum(i != -1)) == 0
+    assert float(jnp.abs(d).max()) == 0.0
