@@ -131,21 +131,32 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
     x_both = c_valid & r_valid
     y_both = c_valid & d_valid
 
-    # ---- per-pixel triangle vertices for C/R/D ----------------------------
-    # Invalid pixels use vertex indices {0,0,0} (load_vec3_if_valid,
-    # kernel.cu:205-215) -> degenerate -> pix_in_tri false.
-    zeros3 = jnp.zeros((1, 1, 1, 3), jnp.int32)
+    # ---- per-pixel triangle vertices + normals for C/R/D -------------------
+    # One packed [16]-row gather per stencil position serves both the
+    # triangle corners and the face normal (row gathers are ~2x faster than
+    # small element gathers on TPU). Invalid pixels read all-zero rows ->
+    # degenerate triangles -> pix_in_tri false, matching load_vec3_if_valid
+    # (kernel.cu:205-215).
+    face_verts = jax.vmap(lambda vb, vib: vb[vib])(v_pix, vi)  # [N, F, 3, 3]
+    normals = _face_normals(v_pix, vi)  # [N, F, 3]
+    table = jnp.concatenate(
+        [face_verts.reshape(n, -1, 9), normals,
+         jnp.zeros((n, normals.shape[1], 4), v_pix.dtype)],
+        axis=-1,
+    )  # [N, F, 16]
 
-    def tri_pts(idx_s, valid_s):
-        safe = jnp.maximum(idx_s, 0)
-        vi_pt = jax.vmap(lambda vib, ii: vib[ii])(vi, safe)  # [N,sh,sw,3]
-        vi_pt = jnp.where(valid_s[..., None], vi_pt, zeros3)
-        pts = jax.vmap(lambda vb, ii: vb[ii])(v_pix, vi_pt)  # [N,sh,sw,3,3]
-        return pts
+    def stencil_rows(idx_s, valid_s):
+        safe = jnp.maximum(idx_s, 0).reshape(n, -1)
+        rows = jax.vmap(lambda t, ii: t[ii])(table, safe)
+        rows = rows.reshape(idx_s.shape + (16,))
+        return jnp.where(valid_s[..., None], rows, 0.0)
 
-    pts_c = tri_pts(c_idx, c_valid)
-    pts_r = tri_pts(r_idx, r_valid)
-    pts_d = tri_pts(d_idx, d_valid)
+    rows_c = stencil_rows(c_idx, c_valid)
+    rows_r = stencil_rows(r_idx, r_valid)
+    rows_d = stencil_rows(d_idx, d_valid)
+    pts_c = rows_c[..., :9].reshape(rows_c.shape[:-1] + (3, 3))
+    pts_r = rows_r[..., :9].reshape(rows_r.shape[:-1] + (3, 3))
+    pts_d = rows_d[..., :9].reshape(rows_d.shape[:-1] + (3, 3))
 
     px = jnp.arange(sw, dtype=dtype)[None, None, :]
     py = jnp.arange(sh, dtype=dtype)[None, :, None]
@@ -187,16 +198,10 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
     gdy = jnp.where(ud_diff, gdy, 0.0)
 
     # ---- face normals for dp_dr (intersection case) -----------------------
-    normals = _face_normals(v_pix, vi)  # [N, F, 3]
-
-    def pix_normals(idx_s, valid_s):
-        safe = jnp.maximum(idx_s, 0)
-        nrm = jax.vmap(lambda nb, ii: nb[ii])(normals, safe)
-        return jnp.where(valid_s[..., None], nrm, 0.0)
-
-    n_c = pix_normals(c_idx, c_valid)
-    n_r = pix_normals(r_idx, r_valid)
-    n_d = pix_normals(d_idx, d_valid)
+    # Already gathered in the packed stencil rows above.
+    n_c = rows_c[..., 9:12]
+    n_r = rows_r[..., 9:12]
+    n_d = rows_d[..., 9:12]
 
     def dp(nv, nf, axes):
         return _get_dp_dr(nv[..., axes], nf[..., axes], max_dp_dr)

@@ -70,14 +70,26 @@ def _pix_vi(vi: jnp.ndarray, index_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
     return pix_vi, mask
 
 
+def _gather_face_attrs(vert_attributes, vi, index_img):
+    """Per-pixel [N, H, W, 3, C] attribute rows via ONE packed row gather
+    from the [N, F, 3C] face-attribute table (row gathers are ~2x faster
+    than small element gathers on TPU)."""
+    n, h, w = index_img.shape
+    c = vert_attributes.shape[-1]
+    safe = jnp.maximum(index_img, 0).reshape(n, -1)
+    table = jax.vmap(lambda ab, vib: ab[vib])(vert_attributes, vi)  # [N,F,3,C]
+    table = table.reshape(n, -1, 3 * c)
+    rows = jax.vmap(lambda t, ii: t[ii])(table, safe)
+    return rows.reshape(n, h, w, 3, c)
+
+
 def _interpolate_fwd_math(vert_attributes, vi, index_img, bary_img):
     n, h, w = index_img.shape
     c = vert_attributes.shape[-1]
     dtype = vert_attributes.dtype
 
-    pix_vi, mask = _pix_vi(vi, index_img)
-    # attr gather: [N, H, W, 3, C]
-    attrs = jax.vmap(lambda ab, ids: ab[ids])(vert_attributes, pix_vi)
+    mask = index_img >= 0
+    attrs = _gather_face_attrs(vert_attributes, vi, index_img)
     bary = jnp.moveaxis(bary_img, 1, -1)  # [N, H, W, 3]
     out = jnp.sum(attrs * bary[..., None], axis=-2)  # [N, H, W, C]
     out = jnp.moveaxis(out, -1, 1)  # [N, C, H, W]
@@ -107,26 +119,33 @@ def _interpolate_core_bwd(res, grad_out):
     num_v = vert_attributes.shape[1]
     c = vert_attributes.shape[-1]
 
-    pix_vi, mask = _pix_vi(vi, index_img)
+    mask = index_img >= 0
     maskf = mask.astype(dtype)
 
     g = jnp.moveaxis(grad_out, 1, -1) * maskf[..., None]  # [N, H, W, C]
 
     # grad wrt bary_img
-    attrs = jax.vmap(lambda ab, ids: ab[ids])(vert_attributes, pix_vi)
+    attrs = _gather_face_attrs(vert_attributes, vi, index_img)
     grad_bary = jnp.einsum("nhwc,nhwkc->nhwk", g, attrs)
     grad_bary_img = jnp.moveaxis(grad_bary, -1, 1)  # [N, 3, H, W]
 
-    # grad wrt vertex attributes: scatter-add of bary_i * g over vertex ids.
+    # grad wrt vertex attributes: one packed [P, 3C] row scatter into the
+    # face table, then the cheap face -> vertex reduction.
     bary = jnp.moveaxis(bary_img, 1, -1)  # [N, H, W, 3]
     contrib = bary[..., None] * g[..., None, :]  # [N, H, W, 3, C]
+    rows = contrib.reshape(n, -1, 3 * c)
+    safe = jnp.maximum(index_img, 0).reshape(n, -1)
+    f_cnt = vi.shape[1]
 
-    def scatter_one(ids, vals):
+    def scatter_face(ids, vals):
+        return jnp.zeros((f_cnt, 3 * c), dtype).at[ids].add(vals)
+
+    grad_face = jax.vmap(scatter_face)(safe, rows).reshape(n, f_cnt * 3, c)
+
+    def scatter_vert(ids, vals):
         return jnp.zeros((num_v, c), dtype).at[ids].add(vals)
 
-    grad_attr = jax.vmap(scatter_one)(
-        pix_vi.reshape(n, -1), contrib.reshape(n, -1, c)
-    )
+    grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
     return grad_attr, None, None, grad_bary_img
 
 

@@ -502,8 +502,11 @@ def rasterize_with_depth(
     if vi.shape[0] != v.shape[0]:
         raise ValueError("rasterize: batch size of v and vi must match")
 
+    # Rasterization is wholly non-differentiable (rasterize_module.cpp:43-51);
+    # stopping gradients at the input also keeps autodiff from tracing into
+    # the Pallas kernel, which defines no JVP rule.
     depth_img, index_img = _rasterize_dispatch(
-        v, vi, height, width, wireframe, _choose_impl(impl)
+        jax.lax.stop_gradient(v), vi, height, width, wireframe, _choose_impl(impl)
     )
     return jax.lax.stop_gradient(depth_img), index_img
 

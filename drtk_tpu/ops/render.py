@@ -40,12 +40,21 @@ def _gather_face_verts(
     """Per-pixel triangle vertices.
 
     Returns (pix_verts [N, H, W, 3(corner), 3(xyz)], mask [N, H, W]).
+
+    TPU note: the per-pixel step is ONE padded row gather of 16 floats per
+    pixel — row gathers are ~2x faster than the equivalent scalar/small
+    gathers on TPU, and the row scatter in the VJP is likewise one
+    contiguous scatter into the face table before the cheap face->vertex
+    reduction.
     """
+    n, h, w = index_img.shape
     mask = index_img >= 0
     safe_index = jnp.maximum(index_img, 0)
-    # Two-level gather: faces first, then per-pixel.
+    # Two-level gather: faces first (small), then one packed row per pixel.
     face_verts = jax.vmap(lambda vb, vib: vb[vib])(v, vi)  # [N, F, 3, 3]
-    pix_verts = jax.vmap(lambda fv, ii: fv[ii])(face_verts, safe_index)
+    table = jnp.pad(face_verts.reshape(n, -1, 9), ((0, 0), (0, 0), (0, 7)))
+    rows = jax.vmap(lambda t, ii: t[ii])(table, safe_index.reshape(n, -1))
+    pix_verts = rows[..., :9].reshape(n, h, w, 3, 3)
     return pix_verts, mask
 
 
@@ -202,22 +211,26 @@ def _render_core_bwd(res, grads):
     )
     grad_pix = grad_pix * mask[..., None, None].astype(dtype)
 
-    # Scatter-add into grad_v via per-pixel vertex ids. Note: like the
-    # reference (render_kernel.cu:69-72), vi is used raw here — only
-    # rasterize masks the wireframe nibble.
-    safe_index = jnp.maximum(index_img, 0)
-    pix_vi = jax.vmap(lambda vib, ii: vib[ii])(vi, safe_index)  # [N, H, W, 3]
-
+    # Pixel -> face row scatter (one contiguous [P, 16] scatter), then the
+    # cheap face -> vertex reduction. Like the reference
+    # (render_kernel.cu:69-72), vi is used raw here — only rasterize masks
+    # the wireframe nibble.
+    safe_index = jnp.maximum(index_img, 0).reshape(n, -1)
     num_v = v.shape[1]
+    f_cnt = vi.shape[1]
 
-    def scatter_one(ids, vals):
-        # ids [H*W*3], vals [H*W*3, 3] -> [V, 3]
+    rows = jnp.pad(grad_pix.reshape(n, -1, 9), ((0, 0), (0, 0), (0, 7)))
+
+    def scatter_face(ids, vals):
+        return jnp.zeros((f_cnt, 16), dtype).at[ids].add(vals)
+
+    grad_face = jax.vmap(scatter_face)(safe_index, rows)[..., :9]
+    grad_face = grad_face.reshape(n, f_cnt * 3, 3)
+
+    def scatter_vert(ids, vals):
         return jnp.zeros((num_v, 3), dtype).at[ids].add(vals)
 
-    grad_v = jax.vmap(scatter_one)(
-        pix_vi.reshape(n, -1),
-        grad_pix.reshape(n, -1, 3),
-    )
+    grad_v = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
     return grad_v, None, None
 
 
