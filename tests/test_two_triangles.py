@@ -1,0 +1,95 @@
+"""Integration test: the reference's canonical two-triangles inverse
+rendering fit (test/two_triangles.py in facebookresearch/DRTK), scaled down
+for CPU CI. Perturbed vertices must recover toward the ground truth through
+the full differentiable pipeline including edge_grad_estimator.
+
+The full-scale fit (512x512, noise std 20, 2000 steps -> <1px) runs on real
+TPU via the verify drive; here we assert monotone-ish convergence at 128x128
+with a few hundred steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import drtk_tpu as dt
+from drtk_tpu.ops.grid_sample import grid_sample
+from tests.utils import two_triangles_scene
+
+
+def build_forward(vi, vt, tex, h, w):
+    def forward(v):
+        index_img = dt.rasterize(v, vi, h, w)
+        _, bary_img = dt.render(v, vi, index_img)
+        vt_img = dt.interpolate(vt, vi, index_img, bary_img)
+        uv = jnp.moveaxis(vt_img, 1, -1)
+        # The reference samples with the raw 0..1 uvs (two_triangles.py:50-54)
+        img = grid_sample(tex, uv, padding_mode="border", align_corners=False)
+        img = img * (index_img != -1)[:, None]
+        return dt.edge_grad_estimator(
+            v_pix=v, vi=vi, bary_img=bary_img, img=img, index_img=index_img
+        )
+
+    return forward
+
+
+def test_two_triangles_fit_xy():
+    h = w = 128
+    v_gt, vi, vt = two_triangles_scene(h=h, w=w)
+    tex = jnp.ones((1, 3, 16, 16), jnp.float32).at[:, :, :, 8:].set(0.5)
+    forward = build_forward(vi, vt, tex, h, w)
+
+    img_gt = jax.jit(forward)(v_gt)
+
+    rng = np.random.RandomState(10)
+    noise = rng.randn(*v_gt.shape).astype(np.float32) * 5.0
+    noise[..., 2] = 0.0
+    v0 = v_gt + jnp.asarray(noise)
+
+    opt = optax.adam(1e-1)
+
+    @jax.jit
+    def step(v, state):
+        loss, g = jax.value_and_grad(
+            lambda v: jnp.mean((forward(v) - img_gt) ** 2)
+        )(v)
+        g = g.at[..., 2].set(0.0)  # xy_only (two_triangles.py:82-83)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(v, updates), state, loss
+
+    v, state = v0, opt.init(v0)
+    loss0 = None
+    for i in range(300):
+        v, state, loss = step(v, state)
+        if loss0 is None:
+            loss0 = float(loss)
+
+    err0 = float(jnp.abs(v0 - v_gt)[..., :2].max())
+    err1 = float(jnp.abs(v - v_gt)[..., :2].max())
+    assert float(loss) < loss0 / 5.0, (
+        f"loss did not decrease: {loss0:.3e} -> {float(loss):.3e}"
+    )
+    assert err1 < err0 / 2.0, f"vertices did not converge: {err0} -> {err1}"
+
+
+def test_edge_grad_moves_silhouette():
+    # With a constant white texture the photometric term vanishes inside the
+    # triangles; ONLY edge gradients can move vertices. Check that the grad
+    # is nonzero and points so that one step reduces the loss.
+    h = w = 96
+    v_gt, vi, vt = two_triangles_scene(h=h, w=w)
+    tex = jnp.ones((1, 3, 4, 4), jnp.float32)
+    forward = build_forward(vi, vt, tex, h, w)
+    img_gt = jax.jit(forward)(v_gt)
+
+    v0 = v_gt + jnp.asarray([[3.0, -2.0, 0.0]])
+
+    def loss_fn(v):
+        return jnp.mean((forward(v) - img_gt) ** 2)
+
+    loss, g = jax.jit(jax.value_and_grad(loss_fn))(v0)
+    assert float(jnp.linalg.norm(g)) > 0.0, "edge gradients are zero"
+    v1 = v0 - 1.0 * g / jnp.linalg.norm(g) * 2.0  # 2px step along -grad
+    loss1 = jax.jit(loss_fn)(v1)
+    assert float(loss1) < float(loss), "gradient step increased the loss"
