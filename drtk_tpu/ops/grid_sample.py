@@ -74,16 +74,20 @@ def _gather_2d(
     img: [N, C, H, W]; ix/iy: [N, *S] int32. Returns [N, C, *S].
     When zero_fill, out-of-bounds taps return 0; otherwise indices are
     assumed pre-clamped.
+
+    TPU note: lowered as ONE row gather per tap from a channels-last
+    [N, H*W, C] view (row gathers are ~2x faster than per-channel element
+    gathers; XLA CSEs the transpose across the taps of one sample).
     """
-    h, w = img.shape[2], img.shape[3]
+    n, c, h, w = img.shape
     inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
     ixc = jnp.clip(ix, 0, w - 1)
     iyc = jnp.clip(iy, 0, h - 1)
 
-    def one(img_b, iy_b, ix_b):
-        return img_b[:, iy_b, ix_b]  # [C, *S]
-
-    out = jax.vmap(one)(img, iyc, ixc)
+    rows_img = jnp.moveaxis(img, 1, -1).reshape(n, h * w, c)
+    flat = (iyc * w + ixc).reshape(n, -1)
+    out = jax.vmap(lambda t, ii: t[ii])(rows_img, flat)  # [N, S, C]
+    out = jnp.moveaxis(out, -1, 1).reshape((n, c) + ix.shape[1:])
     if zero_fill:
         out = jnp.where(inb[:, None], out, 0.0)
     return out

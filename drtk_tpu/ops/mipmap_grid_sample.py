@@ -136,14 +136,17 @@ def _gather_atlas(
     contract; border/reflection pre-fold so they never go out of level).
     Returns [N, C, *S].
     """
+    n, c, ha, wa = atlas.shape
     inb = (ix >= 0) & (ix < wp) & (iy >= 0) & (iy < hp)
     ixc = jnp.clip(ix, 0, wp - 1) + xoff
     iyc = jnp.clip(iy, 0, hp - 1)
 
-    def one(atlas_b, iy_b, ix_b):
-        return atlas_b[:, iy_b, ix_b]
-
-    out = jax.vmap(one)(atlas, iyc, ixc)
+    # One row gather per tap from a channels-last flat view (row gathers are
+    # ~2x faster than per-channel element gathers on TPU).
+    rows_img = jnp.moveaxis(atlas, 1, -1).reshape(n, ha * wa, c)
+    flat = (iyc * wa + ixc).reshape(n, -1)
+    out = jax.vmap(lambda t, ii: t[ii])(rows_img, flat)
+    out = jnp.moveaxis(out, -1, 1).reshape((n, c) + ix.shape[1:])
     return jnp.where(inb[:, None], out, 0.0)
 
 
