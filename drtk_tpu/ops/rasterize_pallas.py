@@ -52,7 +52,7 @@ __all__ = ["rasterize_pallas"]
 
 TILE_H = 32
 TILE_W = 128
-MAX_SPAN = 16  # max tiles a binned triangle may cover (else -> global list)
+MAX_SPAN = 4  # max tiles a binned triangle may cover (else -> global list)
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = float("-inf")
 
@@ -123,33 +123,49 @@ def _bin_triangles(setup_rows, bbox, valid, n_tx, n_ty, cap):
     )
 
     flat_tile = pair_tile.reshape(-1)  # [P]
-    flat_tri = pair_tri.reshape(-1)
-    order = jnp.argsort(flat_tile, stable=True)
-    sorted_tile = flat_tile[order]
-    sorted_tri = flat_tri[order]
+    p_total = flat_tile.shape[0]
+    # Single packed-key sort (tile in the high bits, pair index in the low
+    # bits): one lax.sort, no permutation gathers. Stability comes from the
+    # embedded index, so within a tile entries stay in ascending pair (and
+    # therefore triangle) order.
+    shift = _next_pow2(p_total)
+    packed = jax.lax.sort(flat_tile * shift + jax.lax.iota(jnp.int32, p_total))
+    sorted_tile = packed // shift
+    sorted_pair = packed % shift
+    sorted_tri = sorted_pair // MAX_SPAN
 
-    start = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32))
-    end = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right"
+    # Per-tile starts/counts via bincount + exclusive cumsum (searchsorted
+    # lowers poorly on TPU).
+    counts_all = (
+        jnp.zeros((n_tiles + 1,), jnp.int32).at[flat_tile].add(1)[:n_tiles]
     )
-    counts_all = (end - start).astype(jnp.int32)
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all)[:-1]]
+    )
     counts = jnp.minimum(counts_all, cap).astype(jnp.int32)
 
     # Dense bins by gather.
-    p_total = sorted_tri.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
     bin_pos = jnp.minimum(start[:, None] + slot[None, :], p_total - 1)
     bin_tri = sorted_tri[bin_pos]  # [T, CAP]
     bins = setup_rows[bin_tri]  # [T, CAP, 16]
 
     # Global list: big-span triangles + per-tile overflow pairs.
-    rank = jnp.arange(p_total, dtype=jnp.int32) - jnp.where(
+    rank = jax.lax.iota(jnp.int32, p_total) - jnp.where(
         sorted_tile < n_tiles, start[jnp.minimum(sorted_tile, n_tiles - 1)], 0
     )
     overflow = (sorted_tile < n_tiles) & (rank >= cap)
-    overflow_tri = jnp.zeros((f_cnt,), bool).at[sorted_tri].max(overflow)
-    gmask = (big & valid) | overflow_tri
-    gids = jnp.argsort(~gmask, stable=True).astype(jnp.int32)  # globals first
+    overflow_tri = (
+        jnp.zeros((f_cnt,), jnp.int32)
+        .at[sorted_tri]
+        .add(overflow.astype(jnp.int32))
+    )
+    gmask = (big & valid) | (overflow_tri > 0)
+    gshift = _next_pow2(f_cnt)
+    gpacked = jax.lax.sort(
+        jnp.where(gmask, 0, gshift) + jax.lax.iota(jnp.int32, f_cnt)
+    )
+    gids = (gpacked % gshift).astype(jnp.int32)  # globals first, stable
     gcount = jnp.sum(gmask).astype(jnp.int32)
     gbins = setup_rows[gids]  # [F, 16]
     return bins, bin_tri, counts, gbins, gids, gcount[None]
