@@ -132,24 +132,66 @@ def _grid_sample_impl(
         return _gather_2d(input, ix, iy, zeros)
 
     if mode == "bilinear":
+        # All four taps come from ONE row gather out of a "quad table": the
+        # texture concatenated with its x-, y-, and xy-shifted copies, so a
+        # single [4C]-row per pixel replaces four separate gathers (row
+        # gathers are the fast path on TPU; the 4x table build is a cheap
+        # contiguous copy). The VJP is correspondingly ONE row scatter plus
+        # shifted adds.
+        n, c, h, w = input.shape
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         tx = x - x0
         ty = y - y0
         ix0 = x0.astype(jnp.int32)
         iy0 = y0.astype(jnp.int32)
-        v00 = _gather_2d(input, ix0, iy0, zeros)
-        v01 = _gather_2d(input, ix0 + 1, iy0, zeros)
-        v10 = _gather_2d(input, ix0, iy0 + 1, zeros)
-        v11 = _gather_2d(input, ix0 + 1, iy0 + 1, zeros)
-        wx1 = tx[:, None]
-        wy1 = ty[:, None]
-        return (
-            v00 * (1 - wx1) * (1 - wy1)
-            + v01 * wx1 * (1 - wy1)
-            + v10 * (1 - wx1) * wy1
-            + v11 * wx1 * wy1
+
+        t = jnp.moveaxis(input, 1, -1)  # [N, H, W, C]
+        if zeros:
+            # Pad one zero ring so an in-range-but-boundary base reads true
+            # zeros; fully out-of-range taps are masked below.
+            t = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            bx = jnp.clip(ix0 + 1, 0, w)
+            by = jnp.clip(iy0 + 1, 0, h)
+        else:
+            # Folded coords are already in [0, size-1]; the +1 taps only get
+            # nonzero weight strictly inside, so zero-filled shifts suffice.
+            bx = jnp.clip(ix0, 0, w - 1)
+            by = jnp.clip(iy0, 0, h - 1)
+        hq, wq = t.shape[1], t.shape[2]
+        tx1 = jnp.concatenate([t[:, :, 1:], jnp.zeros_like(t[:, :, :1])], 2)
+        ty1 = jnp.concatenate([t[:, 1:], jnp.zeros_like(t[:, :1])], 1)
+        txy = jnp.concatenate([ty1[:, :, 1:], jnp.zeros_like(t[:, :, :1])], 2)
+        quad = jnp.concatenate([t, tx1, ty1, txy], -1).reshape(n, hq * wq, 4 * c)
+
+        flat = (by * wq + bx).reshape(n, -1)
+        rows = jax.vmap(lambda q, ii: q[ii])(quad, flat)  # [N, P, 4C]
+        rows = rows.reshape(ix0.shape + (4, c))
+
+        wx1 = tx[..., None]
+        wy1 = ty[..., None]
+        wts = jnp.stack(
+            [
+                (1 - wx1[..., 0]) * (1 - wy1[..., 0]),
+                wx1[..., 0] * (1 - wy1[..., 0]),
+                (1 - wx1[..., 0]) * wy1[..., 0],
+                wx1[..., 0] * wy1[..., 0],
+            ],
+            axis=-1,
         )
+        if zeros:
+            inb_x0 = (ix0 >= 0) & (ix0 < w)
+            inb_x1 = (ix0 + 1 >= 0) & (ix0 + 1 < w)
+            inb_y0 = (iy0 >= 0) & (iy0 < h)
+            inb_y1 = (iy0 + 1 >= 0) & (iy0 + 1 < h)
+            tap_mask = jnp.stack(
+                [inb_x0 & inb_y0, inb_x1 & inb_y0,
+                 inb_x0 & inb_y1, inb_x1 & inb_y1],
+                axis=-1,
+            )
+            wts = wts * tap_mask
+        out = jnp.einsum("...kc,...k->...c", rows, wts.astype(rows.dtype))
+        return jnp.moveaxis(out, -1, 1)
 
     if mode == "bicubic":
         # Bicubic ignores the padding fold above for coordinate computation:
