@@ -501,6 +501,10 @@ def rasterize_with_depth(
     vi = broadcast_vi(vi, v.shape[0])
     if vi.shape[0] != v.shape[0]:
         raise ValueError("rasterize: batch size of v and vi must match")
+    if v.dtype in (jnp.float16, jnp.bfloat16):
+        # Autocast parity: the reference casts half-precision inputs to fp32
+        # for rasterization (rasterize_module.cpp:63-71).
+        v = v.astype(jnp.float32)
 
     # Rasterization is wholly non-differentiable (rasterize_module.cpp:43-51);
     # stopping gradients at the input also keeps autodiff from tracing into
