@@ -138,7 +138,9 @@ def _interpolate_core_bwd(res, grad_out):
     f_cnt = vi.shape[1]
 
     def scatter_face(ids, vals):
-        return jnp.zeros((f_cnt, 3 * c), dtype).at[ids].add(vals)
+        return jnp.zeros((f_cnt, 3 * c), dtype).at[ids].add(
+            vals, mode="promise_in_bounds"
+        )
 
     grad_face = jax.vmap(scatter_face)(safe, rows).reshape(n, f_cnt * 3, c)
 

@@ -90,6 +90,37 @@ def _pack_setup(setup, valid):
     )
 
 
+def _sort_pairs(flat_tile, n_tiles):
+    """Stable sort of (tile, pair-index) pairs by tile.
+
+    Single packed-key sort (tile in the high bits, pair index in the low
+    bits): one lax.sort, no permutation gathers. Stability comes from the
+    embedded index, so within a tile entries stay in ascending pair (and
+    therefore triangle) order. Picks the narrowest key type that fits
+    (tile <= n_tiles sentinel, index < P); falls back to a stable argsort
+    for huge problems. Returns (sorted_tile, sorted_pair_index), int32.
+    """
+    p_total = flat_tile.shape[0]
+    shift = _next_pow2(p_total)
+    key_max = (n_tiles + 1) * shift + p_total
+    if key_max < 2**31:
+        packed = jax.lax.sort(
+            flat_tile * shift + jax.lax.iota(jnp.int32, p_total)
+        )
+        return packed // shift, packed % shift
+    if key_max < 2**32:
+        packed = jax.lax.sort(
+            flat_tile.astype(jnp.uint32) * jnp.uint32(shift)
+            + jax.lax.iota(jnp.uint32, p_total)
+        )
+        return (
+            (packed // jnp.uint32(shift)).astype(jnp.int32),
+            (packed % jnp.uint32(shift)).astype(jnp.int32),
+        )
+    order = jnp.argsort(flat_tile, stable=True)
+    return flat_tile[order], order.astype(jnp.int32)
+
+
 def _bin_triangles(setup_rows, bbox, valid, n_tx, n_ty, cap):
     """Build dense per-tile bins + the global list for ONE batch element.
 
@@ -123,15 +154,8 @@ def _bin_triangles(setup_rows, bbox, valid, n_tx, n_ty, cap):
     )
 
     flat_tile = pair_tile.reshape(-1)  # [P]
+    sorted_tile, sorted_pair = _sort_pairs(flat_tile, n_tiles)
     p_total = flat_tile.shape[0]
-    # Single packed-key sort (tile in the high bits, pair index in the low
-    # bits): one lax.sort, no permutation gathers. Stability comes from the
-    # embedded index, so within a tile entries stay in ascending pair (and
-    # therefore triangle) order.
-    shift = _next_pow2(p_total)
-    packed = jax.lax.sort(flat_tile * shift + jax.lax.iota(jnp.int32, p_total))
-    sorted_tile = packed // shift
-    sorted_pair = packed % shift
     sorted_tri = sorted_pair // MAX_SPAN
 
     # Per-tile starts/counts via bincount + exclusive cumsum (searchsorted

@@ -219,12 +219,14 @@ def _render_core_bwd(res, grads):
     num_v = v.shape[1]
     f_cnt = vi.shape[1]
 
-    rows = jnp.pad(grad_pix.reshape(n, -1, 9), ((0, 0), (0, 0), (0, 7)))
+    rows = grad_pix.reshape(n, -1, 9)
 
     def scatter_face(ids, vals):
-        return jnp.zeros((f_cnt, 16), dtype).at[ids].add(vals)
+        return jnp.zeros((f_cnt, 9), dtype).at[ids].add(
+            vals, mode="promise_in_bounds"
+        )
 
-    grad_face = jax.vmap(scatter_face)(safe_index, rows)[..., :9]
+    grad_face = jax.vmap(scatter_face)(safe_index, rows)
     grad_face = grad_face.reshape(n, f_cnt * 3, 3)
 
     def scatter_vert(ids, vals):

@@ -102,3 +102,17 @@ def test_empty_scene():
     d, i = rasterize_pallas(v, vi, 64, 128, interpret=True)
     assert int(jnp.sum(i != -1)) == 0
     assert float(jnp.abs(d).max()) == 0.0
+
+
+def test_sort_pairs_key_widths():
+    # The three packed-key branches (int32 / uint32 / argsort fallback) must
+    # agree; the 4K config overflows int32 keys (regression for a TPU fault).
+    from drtk_tpu.ops.rasterize_pallas import _sort_pairs
+
+    rng = np.random.RandomState(0)
+    flat = jnp.asarray(rng.randint(0, 300, 4096).astype(np.int32))
+    ref_tile, ref_pair = _sort_pairs(flat, 300)  # int32 branch
+    for fake_tiles in [2**19 - 1, 2**25]:  # uint32 branch, argsort branch
+        t, p = _sort_pairs(flat, fake_tiles)
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_tile))
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_pair))
