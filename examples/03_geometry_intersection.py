@@ -62,12 +62,27 @@ def step(v, state):
     return optax.apply_updates(v, updates), state, loss
 
 
-err0 = float(jnp.abs(v - v_gt)[..., 2].max())
+def intersection_iou(v):
+    # The *observable* quantity: where each triangle wins the z-test. z is
+    # only determined up to motions that keep the intersection line fixed,
+    # so we compare index images, not raw z.
+    idx = dt.rasterize(v, vi, h, w)
+    idx_gt = dt.rasterize(v_gt, vi, h, w)
+    same = jnp.sum((idx == idx_gt) & (idx_gt >= 0))
+    return float(same / jnp.maximum(jnp.sum(idx_gt >= 0), 1))
+
+
+loss0 = None
+iou0 = intersection_iou(v)
 for it in range(1500):
     v, state, loss = step(v, state)
+    if loss0 is None:
+        loss0 = float(loss)
     if it % 150 == 0:
         print(f"iter {it:5d}  loss {float(loss):.3e}")
 
-err = float(jnp.abs(v - v_gt)[..., 2].max())
-print(f"z error: {err0:.2f} -> {err:.2f} (camera units)")
+print(
+    f"loss {loss0:.3e} -> {float(loss):.3e}; "
+    f"index-image agreement {100*iou0:.1f}% -> {100*intersection_iou(v):.1f}%"
+)
 save_ppm("intersection_final.ppm", np.asarray(jax.jit(forward)(v)[0]))
