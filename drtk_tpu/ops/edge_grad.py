@@ -32,7 +32,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.interpolate import interpolate
 from drtk_tpu.ops.math import epsclamp
 from drtk_tpu.ops.rasterize import broadcast_vi
 
@@ -254,27 +253,45 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _edge_grad_core(v_pix, v_pix_img, vi, img, index_img, max_dp_dr):
+def _edge_grad_core(v_pix, vi, bary_img, img, index_img, max_dp_dr):
     return img
 
 
-def _edge_grad_core_fwd(v_pix, v_pix_img, vi, img, index_img, max_dp_dr):
-    return img, (v_pix, vi, img, index_img)
+def _edge_grad_core_fwd(v_pix, vi, bary_img, img, index_img, max_dp_dr):
+    return img, (v_pix, vi, bary_img, img, index_img)
 
 
 def _edge_grad_core_bwd(max_dp_dr, res, grad_output):
-    v_pix, vi, img, index_img = res
+    v_pix, vi, bary_img, img, index_img = res
+    n, h, w = index_img.shape
     grad_v_pix_img = _edge_grad_backward(
         v_pix, vi, img, index_img, grad_output, max_dp_dr
     )
-    # (grad_v_pix, grad_v_pix_img, grad_vi, grad_img, grad_index_img)
-    return (
-        jnp.zeros_like(v_pix),
-        grad_v_pix_img,
-        None,
-        grad_output,
-        None,
-    )
+    # Pixel -> vertex reduction: interpolate's VJP with bary detached (the
+    # reference routes the gradient through
+    # v_pix_img = interpolate(v_pix, vi, index_img, bary.detach()),
+    # edge_grad_estimator.py:168-175) — here expressed directly through the
+    # binned-matmul accumulator.
+    from drtk_tpu.ops.segment_rows import scatter_rows_to_faces
+
+    mask = (index_img >= 0).astype(v_pix.dtype)
+    g = jnp.moveaxis(grad_v_pix_img, 1, -1) * mask[..., None]  # [N,H,W,3]
+    bary = jnp.moveaxis(bary_img, 1, -1)  # [N, H, W, 3(corner)]
+    contrib = bary[..., :, None] * g[..., None, :]  # [N,H,W,corner,coord]
+    grad_face = scatter_rows_to_faces(
+        contrib.reshape(n, h, w, 9), index_img, v_pix, vi,
+        interpret=jax.devices()[0].platform != "tpu",
+    ).astype(v_pix.dtype)
+    grad_face = grad_face.reshape(n, -1, 3)  # [N, F*3, 3]
+
+    num_v = v_pix.shape[1]
+
+    def scatter_vert(ids, vals):
+        return jnp.zeros((num_v, 3), v_pix.dtype).at[ids].add(vals)
+
+    grad_v_pix = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
+    # (grad_v_pix, grad_vi, grad_bary, grad_img, grad_index_img)
+    return (grad_v_pix, None, None, grad_output, None)
 
 
 _edge_grad_core.defvjp(_edge_grad_core_fwd, _edge_grad_core_bwd)
@@ -317,9 +334,9 @@ def edge_grad_estimator(
             "gradients with jax.grad on v_pix_img instead"
         )
     vi = broadcast_vi(vi, v_pix.shape[0])
-    v_pix_img = interpolate(v_pix, vi, index_img, jax.lax.stop_gradient(bary_img))
     return _edge_grad_core(
-        v_pix, v_pix_img, vi, img, index_img, float(max_dp_dr)
+        v_pix, vi, jax.lax.stop_gradient(bary_img), img, index_img,
+        float(max_dp_dr),
     )
 
 

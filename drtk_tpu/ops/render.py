@@ -211,22 +211,19 @@ def _render_core_bwd(res, grads):
     )
     grad_pix = grad_pix * mask[..., None, None].astype(dtype)
 
-    # Pixel -> face row scatter (one contiguous [P, 16] scatter), then the
-    # cheap face -> vertex reduction. Like the reference
-    # (render_kernel.cu:69-72), vi is used raw here — only rasterize masks
-    # the wireframe nibble.
-    safe_index = jnp.maximum(index_img, 0).reshape(n, -1)
+    # Pixel -> face reduction via the binned-matmul accumulator (falls back
+    # to a plain row scatter when the rasterizer's global list is
+    # non-empty), then the cheap face -> vertex reduction. Like the
+    # reference (render_kernel.cu:69-72), vi is used raw here — only
+    # rasterize masks the wireframe nibble.
+    from drtk_tpu.ops.segment_rows import scatter_rows_to_faces
+
     num_v = v.shape[1]
     f_cnt = vi.shape[1]
-
-    rows = grad_pix.reshape(n, -1, 9)
-
-    def scatter_face(ids, vals):
-        return jnp.zeros((f_cnt, 9), dtype).at[ids].add(
-            vals, mode="promise_in_bounds"
-        )
-
-    grad_face = jax.vmap(scatter_face)(safe_index, rows)
+    grad_face = scatter_rows_to_faces(
+        grad_pix.reshape(n, h, w, 9), index_img, v, vi,
+        interpret=jax.devices()[0].platform != "tpu",
+    ).astype(dtype)
     grad_face = grad_face.reshape(n, f_cnt * 3, 3)
 
     def scatter_vert(ids, vals):

@@ -1,0 +1,58 @@
+"""Tests: the binned-matmul pixel->face accumulation equals the plain
+scatter, on both the fast path (empty global list) and the fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drtk_tpu.ops.segment_rows import scatter_rows_to_faces
+import drtk_tpu as dt
+from tests.utils import grid_mesh, random_mesh
+
+
+def plain_scatter(rows, index_img, f_cnt):
+    n, h, w, k = rows.shape
+    safe = jnp.maximum(index_img, 0).reshape(n, -1)
+
+    def one(ids, vals):
+        return jnp.zeros((f_cnt, k), jnp.float32).at[ids].add(vals)
+
+    return jax.vmap(one)(safe, rows.reshape(n, -1, k).astype(jnp.float32))
+
+
+def run_case(v, vi, h, w, k=9, seed=0):
+    vi = jnp.broadcast_to(vi[None], (v.shape[0],) + vi.shape) if vi.ndim == 2 else vi
+    index_img = dt.rasterize(v, vi, h, w, impl="xla")
+    rng = np.random.RandomState(seed)
+    rows = jnp.asarray(
+        rng.randn(*index_img.shape, k).astype(np.float32)
+    ) * (index_img >= 0)[..., None]
+    out = scatter_rows_to_faces(rows, index_img, v, vi, interpret=True)
+    ref = plain_scatter(rows, index_img, vi.shape[1])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fast_path_grid_mesh():
+    v, vi = grid_mesh(h=96, w=160, gn=8)
+    run_case(v, vi, 96, 160)
+
+
+def test_fallback_big_triangles():
+    # Canvas-sized triangles go to the global list -> runtime fallback.
+    rng = np.random.RandomState(1)
+    xy = rng.uniform(-0.5, 1.5, (1, 24, 2)).astype(np.float32) * [640, 256]
+    z = rng.uniform(2, 8, (1, 24, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1))
+    vi = jnp.asarray(rng.randint(0, 24, (30, 3)).astype(np.int32))
+    run_case(v, vi, 256, 640)
+
+
+def test_batched_mixed():
+    v, vi = random_mesh(jax.random.PRNGKey(2), n=2, num_v=48, num_f=64,
+                        h=64, w=128)
+    run_case(v, vi, 64, 128, k=6)
+
+
+def test_nonaligned_image():
+    v, vi = grid_mesh(h=70, w=130, gn=6)
+    run_case(v, vi, 70, 130, k=3)
