@@ -20,8 +20,11 @@ TPU-native reimplementation of the reference's ``edge_grad_ext``
 
   The CUDA kernel's per-pixel branches become masked vector ops here; the
   three ``atomicAdd`` targets (center/right/down) become three shifted adds.
-  The pixel→vertex reduction then happens through :func:`interpolate`'s VJP,
-  exactly like the reference (drtk/edge_grad_estimator.py:168-175).
+  The pixel→vertex reduction applies interpolate's VJP formula (bary
+  detached) — mathematically the reference's
+  ``v_pix_img = interpolate(v_pix, vi, index_img, bary.detach())`` trick
+  (drtk/edge_grad_estimator.py:168-175) — expressed directly through the
+  binned-matmul accumulator (drtk_tpu/ops/segment_rows.py).
 """
 
 from __future__ import annotations
@@ -311,8 +314,8 @@ def edge_grad_estimator(
     Mirrors ``drtk.edge_grad_estimator`` (drtk/edge_grad_estimator.py:20-175):
     returns ``img`` unchanged in the forward pass; in the backward pass,
     image-space discontinuity gradients are computed with the CRD stencil and
-    flow to ``v_pix`` through :func:`interpolate`'s VJP (the pixel-to-vertex
-    reduction), with ``bary_img`` detached.
+    reduced to ``v_pix`` with interpolate's VJP formula (``bary_img``
+    detached), exactly the reference's ``v_pix_img`` indirection.
 
     Args:
         v_pix: [N, V, 3] pixel-space positions (x_pix, y_pix, z_cam).
