@@ -235,8 +235,11 @@ def _tile_kernel(
 
     def make_body(read_field, read_id, count):
         # Unrolled x4: amortizes per-iteration loop/sync overhead over four
-        # triangles; slots past `count` are masked via the valid flag.
+        # triangles; slots past `count` are masked via the scalar live flag
+        # (bins and the global list only ever contain valid triangles, so
+        # the packed valid field is not consulted).
         def one(k, di, best):
+            live = k < count
             base = k * 16
             ea0 = read_field(base + 0)
             ea1 = read_field(base + 1)
@@ -253,7 +256,6 @@ def _tile_kernel(
             tl0 = read_field(base + 12)
             tl1 = read_field(base + 13)
             tl2 = read_field(base + 14)
-            ok = jnp.where(k < count, read_field(base + 15), 0.0)
             tri_id = read_id(k)
 
             e0 = ea0 * px + eb0 * py + ec0
@@ -263,7 +265,7 @@ def _tile_kernel(
                 ((e0 > 0) | ((e0 == 0) & (tl0 > 0)))
                 & ((e1 > 0) | ((e1 == 0) & (tl1 > 0)))
                 & ((e2 > 0) | ((e2 == 0) & (tl2 > 0)))
-                & (ok > 0)
+                & live
             )
             di_tri = e0 * q0 + e1 * q1 + e2 * q2
             better = (di_tri > di) | ((di_tri == di) & (tri_id < best))
