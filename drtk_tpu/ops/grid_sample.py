@@ -23,7 +23,7 @@ mipmap_grid_sample` and :mod:`drtk_tpu.ops.grid_scatter`.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -179,6 +179,16 @@ def scatter_rows_to_faces(
     f_cnt = vi.shape[1]
     k_dim = rows.shape[-1]
 
+    if rows.dtype == jnp.float64:
+        # float64 (oracle mode): the MXU path accumulates in f32; keep the
+        # dtype-preserving scatter instead.
+        safe = jnp.maximum(index_img, 0).reshape(n, -1)
+
+        def one(ids, vals):
+            return jnp.zeros((f_cnt, k_dim), rows.dtype).at[ids].add(vals)
+
+        return jax.vmap(one)(safe, rows.reshape(n, -1, k_dim))
+
     bin_tri, counts, gcounts, n_ty, n_tx, cap = _tile_bins(v, vi, h, w)
     slot = jnp.arange(cap, dtype=jnp.int32)
     bins_masked = jnp.where(

@@ -13,7 +13,7 @@ autograd the same way).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Set, Tuple, Union
+from typing import List, Optional, Set, Tuple, Union
 
 import jax
 import jax.numpy as jnp
