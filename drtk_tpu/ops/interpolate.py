@@ -154,11 +154,61 @@ def _interpolate_core_bwd(res, grad_out):
 _interpolate_core.defvjp(_interpolate_core_fwd, _interpolate_core_bwd)
 
 
+@jax.custom_vjp
+def _interpolate_core_geom(vert_attributes, vi, index_img, bary_img, geom):
+    return _interpolate_fwd_math(vert_attributes, vi, index_img, bary_img)
+
+
+def _interpolate_core_geom_fwd(vert_attributes, vi, index_img, bary_img, geom):
+    out = _interpolate_fwd_math(vert_attributes, vi, index_img, bary_img)
+    return out, (vert_attributes, vi, index_img, bary_img, geom)
+
+
+def _interpolate_core_geom_bwd(res, grad_out):
+    """Same math as _interpolate_core_bwd, but the attribute-gradient
+    reduction goes through the binned-matmul accumulator using the caller's
+    pixel-space geometry (the same (v_pix, vi) that produced index_img)."""
+    vert_attributes, vi, index_img, bary_img, geom = res
+    dtype = vert_attributes.dtype
+    n, h, w = index_img.shape
+    num_v = vert_attributes.shape[1]
+    c = vert_attributes.shape[-1]
+
+    mask = index_img >= 0
+    g = jnp.moveaxis(grad_out, 1, -1) * mask[..., None].astype(dtype)
+
+    attrs = _gather_face_attrs(vert_attributes, vi, index_img)
+    grad_bary = jnp.einsum("nhwc,nhwkc->nhwk", g, attrs)
+    grad_bary_img = jnp.moveaxis(grad_bary, -1, 1)
+
+    from drtk_tpu.ops.segment_rows import scatter_rows_to_faces
+
+    bary = jnp.moveaxis(bary_img, 1, -1)
+    contrib = (bary[..., None] * g[..., None, :]).reshape(n, h, w, 3 * c)
+    grad_face = scatter_rows_to_faces(
+        contrib, index_img, geom, vi,
+        interpret=jax.devices()[0].platform != "tpu",
+    ).astype(dtype)
+    grad_face = grad_face.reshape(n, -1, c)
+
+    def scatter_vert(ids, vals):
+        return jnp.zeros((num_v, c), dtype).at[ids].add(vals)
+
+    grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
+    return grad_attr, None, None, grad_bary_img, jnp.zeros_like(geom)
+
+
+_interpolate_core_geom.defvjp(
+    _interpolate_core_geom_fwd, _interpolate_core_geom_bwd
+)
+
+
 def interpolate(
     vert_attributes: jnp.ndarray,
     vi: jnp.ndarray,
     index_img: jnp.ndarray,
     bary_img: jnp.ndarray,
+    v_pix: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Linearly interpolate vertex attributes over rasterized pixels.
 
@@ -169,6 +219,12 @@ def interpolate(
         vi: [N, F, 3] or [F, 3] int32 face indices.
         index_img: [N, H, W] int32 triangle index image (-1 = background).
         bary_img: [N, 3, H, W] barycentric image.
+        v_pix: optional [N, V, 3] pixel-space geometry that produced
+            ``index_img`` (drtk_tpu extension): when given, the
+            attribute-gradient reduction uses the binned-matmul accumulator
+            on TPU instead of a plain scatter (~2x faster backward for
+            attribute fits). Results are identical up to fp accumulation
+            order.
 
     Returns:
         [N, C, H, W] interpolated image. Background pixels contain the
@@ -183,6 +239,10 @@ def interpolate(
     if bary_img.ndim != 4 or bary_img.shape[1] != 3:
         raise ValueError(
             f"interpolate: expected bary_img [N, 3, H, W], got {bary_img.shape}"
+        )
+    if v_pix is not None:
+        return _interpolate_core_geom(
+            vert_attributes, vi, index_img, bary_img, v_pix
         )
     return _interpolate_core(vert_attributes, vi, index_img, bary_img)
 

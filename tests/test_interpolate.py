@@ -116,3 +116,34 @@ def test_normal_matrix_grad_flows_to_bary():
     g = jax.grad(loss)(bary)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_geometry_hint_matches_plain():
+    # drtk_tpu extension: passing the pixel-space geometry routes the
+    # attribute gradient through the binned-matmul accumulator; results
+    # must match the plain path.
+    import jax
+    import numpy as np
+    from tests.utils import grid_mesh
+
+    v, vi = grid_mesh(h=64, w=128, gn=6)
+    index_img = dt.rasterize(v, vi, 64, 128, impl="xla")
+    _, bary = dt.render(v, vi, index_img)
+    rng = np.random.RandomState(0)
+    attrs = jnp.asarray(rng.rand(1, v.shape[1], 5).astype(np.float32))
+
+    def loss(fn):
+        return jax.grad(
+            lambda a: jnp.sum(fn(a) ** 2)
+        )(attrs)
+
+    g_plain = loss(lambda a: dt.interpolate(a, vi, index_img, bary))
+    g_hint = loss(lambda a: dt.interpolate(a, vi, index_img, bary, v_pix=v))
+    np.testing.assert_allclose(g_plain, g_hint, rtol=1e-4, atol=1e-5)
+
+    # Forward values identical.
+    np.testing.assert_allclose(
+        dt.interpolate(attrs, vi, index_img, bary),
+        dt.interpolate(attrs, vi, index_img, bary, v_pix=v),
+        rtol=1e-6,
+    )
