@@ -125,10 +125,10 @@ def _bin_triangles(setup_rows, bbox, valid, n_tx, n_ty, cap):
     """Build dense per-tile bins + the global list for ONE batch element.
 
     Returns (bins [T, CAP, 16], bin_ids [T, CAP], counts [T],
-             gbins [F, 16], gids [F], gcount [1]). The global list is
-    F-sized (never drops work): it holds every triangle whose tile span
-    exceeds MAX_SPAN plus every triangle that overflowed a tile bin,
-    deduplicated, valid entries first.
+             gmask [F] bool, gcount [1]). The global set is F-sized (never
+    drops work): every triangle whose tile span exceeds MAX_SPAN plus every
+    triangle that overflowed a tile bin. The caller materializes the sorted
+    list + rows lazily behind a runtime cond (most scenes have none).
     """
     f_cnt = setup_rows.shape[0]
     n_tiles = n_tx * n_ty
@@ -185,14 +185,8 @@ def _bin_triangles(setup_rows, bbox, valid, n_tx, n_ty, cap):
         .add(overflow.astype(jnp.int32))
     )
     gmask = (big & valid) | (overflow_tri > 0)
-    gshift = _next_pow2(f_cnt)
-    gpacked = jax.lax.sort(
-        jnp.where(gmask, 0, gshift) + jax.lax.iota(jnp.int32, f_cnt)
-    )
-    gids = (gpacked % gshift).astype(jnp.int32)  # globals first, stable
     gcount = jnp.sum(gmask).astype(jnp.int32)
-    gbins = setup_rows[gids]  # [F, 16]
-    return bins, bin_tri, counts, gbins, gids, gcount[None]
+    return bins, bin_tri, counts, gmask, gcount[None]
 
 
 # --------------------------------------------------------------------------
@@ -368,11 +362,40 @@ def rasterize_pallas(
         bbox_p = setup.bbox
     f_tot = f_cnt + f_pad
 
-    bins, bin_ids, counts, gbins, gids, gcounts = jax.vmap(
+    bins, bin_ids, counts, gmask, gcounts = jax.vmap(
         lambda rows, bbox, val: _bin_triangles(
             rows, bbox, val, n_tx, n_ty, cap
         )
     )(setup_rows, bbox_p, valid)
+
+    # Global-list construction (sort + row gather) is skipped at runtime
+    # when no triangle went global — the common case for real meshes. The
+    # python batch loop keeps lax.cond a true runtime branch.
+    gshift = _next_pow2(f_tot)
+
+    def build_globals(args):
+        gmask_b, rows_b = args
+        gpacked = jax.lax.sort(
+            jnp.where(gmask_b, 0, gshift) + jax.lax.iota(jnp.int32, f_tot)
+        )
+        gids_b = (gpacked % gshift).astype(jnp.int32)  # globals first
+        return gids_b, rows_b[gids_b]
+
+    def empty_globals(args):
+        _, rows_b = args
+        return jax.lax.iota(jnp.int32, f_tot), rows_b
+
+    per_b = [
+        jax.lax.cond(
+            gcounts[b, 0] > 0,
+            build_globals,
+            empty_globals,
+            (gmask[b], setup_rows[b]),
+        )
+        for b in range(n)
+    ]
+    gids = jnp.stack([p[0] for p in per_b])
+    gbins = jnp.stack([p[1] for p in per_b])
     # Dynamic per-triangle indexing must land on the sublane axis (the lane
     # axis requires 128-aligned indices): flatten the 16 setup fields into
     # the sublane dim and keep a trailing unit lane dim.

@@ -66,7 +66,7 @@ def _tile_bins(v, vi, height, width):
     else:
         bbox_p = setup.bbox
 
-    _, bin_tri, counts, _, _, gcounts = jax.vmap(
+    _, bin_tri, counts, _, gcounts = jax.vmap(
         lambda rows, bbox, val: _bin_triangles(rows, bbox, val, n_tx, n_ty, cap)
     )(setup_rows, bbox_p, valid)
     return bin_tri, counts, gcounts[:, 0], n_ty, n_tx, cap
