@@ -116,3 +116,20 @@ def test_sort_pairs_key_widths():
         t, p = _sort_pairs(flat, fake_tiles)
         np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_tile))
         np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_pair))
+
+
+def test_fuzz_random_meshes():
+    # Broad seed sweep: binning, overflow, and tie behavior across random
+    # scene shapes.
+    for seed in range(6):
+        v, vi = random_mesh(
+            jax.random.PRNGKey(100 + seed),
+            n=1,
+            num_v=40 + 7 * seed,
+            num_f=50 + 11 * seed,
+            h=64,
+            w=128,
+            zmin=2.0 + 0.5 * seed,
+            zmax=9.0,
+        )
+        assert_match(v, vi, 64, 128)

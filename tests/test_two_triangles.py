@@ -93,3 +93,54 @@ def test_edge_grad_moves_silhouette():
     v1 = v0 - 1.0 * g / jnp.linalg.norm(g) * 2.0  # 2px step along -grad
     loss1 = jax.jit(loss_fn)(v1)
     assert float(loss1) < float(loss), "gradient step increased the loss"
+
+
+def test_intersection_fit_z_only():
+    # The reference's z_only switch (two_triangles.py:14-15, 82-85): with
+    # interpenetrating triangles, depth gradients from edge_grad's
+    # intersection branch move the visibility boundary. z is observable only
+    # up to motions that preserve the intersection line, so convergence is
+    # measured by index-image agreement (where each triangle wins the
+    # z-test), not raw z error.
+    h = w = 96
+    v_gt = jnp.asarray(
+        np.array(
+            [[8, 15, 100], [88, 15, 100], [48, 88, 100],
+             [8, 75, 60], [88, 75, 140], [48, 12, 100]],
+            np.float32,
+        )[None]
+    )
+    vi = jnp.arange(6, dtype=jnp.int32).reshape(2, 3)
+    vt = jnp.zeros((1, 6, 2), jnp.float32).at[:, 3:, 0].set(1.0)
+    tex = jnp.ones((1, 3, 8, 8), jnp.float32).at[:, :, :, 4:].set(0.25)
+    forward = build_forward(vi, vt, tex, h, w)
+    img_gt = jax.jit(forward)(v_gt)
+
+    v0 = v_gt.at[0, 3:, 2].add(jnp.asarray([12.0, -10.0, 8.0]))
+
+    def agreement(v):
+        idx = dt.rasterize(v, vi, h, w)
+        idx_gt = dt.rasterize(v_gt, vi, h, w)
+        same = jnp.sum((idx == idx_gt) & (idx_gt >= 0))
+        return float(same / jnp.maximum(jnp.sum(idx_gt >= 0), 1))
+
+    opt = optax.adam(5e-1)
+
+    @jax.jit
+    def step(v, state):
+        loss, g = jax.value_and_grad(
+            lambda v: jnp.mean((forward(v) - img_gt) ** 2)
+        )(v)
+        g = g.at[..., :2].set(0.0)  # z_only
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(v, updates), state, loss
+
+    agree0 = agreement(v0)
+    v, state = v0, opt.init(v0)
+    for _ in range(400):
+        v, state, loss = step(v, state)
+    agree1 = agreement(v)
+    assert agree1 > agree0 + 0.05, (
+        f"z-only fit did not improve index agreement: {agree0:.3f} -> {agree1:.3f}"
+    )
+    assert agree1 > 0.97, f"final agreement only {agree1:.3f}"
