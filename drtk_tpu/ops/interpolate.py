@@ -137,18 +137,27 @@ def _interpolate_core_bwd(res, grad_out):
     safe = jnp.maximum(index_img, 0).reshape(n, -1)
     f_cnt = vi.shape[1]
 
+    # Accumulate in the cotangent dtype (which may be wider than the primal
+    # under x64), then cast each returned cotangent to its primal's dtype —
+    # scattering wide values into narrow zeros is a FutureWarning (and soon
+    # an error) in JAX.
     def scatter_face(ids, vals):
-        return jnp.zeros((f_cnt, 3 * c), dtype).at[ids].add(
+        return jnp.zeros((f_cnt, 3 * c), rows.dtype).at[ids].add(
             vals, mode="promise_in_bounds"
         )
 
     grad_face = jax.vmap(scatter_face)(safe, rows).reshape(n, f_cnt * 3, c)
 
     def scatter_vert(ids, vals):
-        return jnp.zeros((num_v, c), dtype).at[ids].add(vals)
+        return jnp.zeros((num_v, c), grad_face.dtype).at[ids].add(vals)
 
     grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
-    return grad_attr, None, None, grad_bary_img
+    return (
+        grad_attr.astype(dtype),
+        None,
+        None,
+        grad_bary_img.astype(bary_img.dtype),
+    )
 
 
 _interpolate_core.defvjp(_interpolate_core_fwd, _interpolate_core_bwd)
@@ -192,10 +201,16 @@ def _interpolate_core_geom_bwd(res, grad_out):
     grad_face = grad_face.reshape(n, -1, c)
 
     def scatter_vert(ids, vals):
-        return jnp.zeros((num_v, c), dtype).at[ids].add(vals)
+        return jnp.zeros((num_v, c), grad_face.dtype).at[ids].add(vals)
 
     grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
-    return grad_attr, None, None, grad_bary_img, jnp.zeros_like(geom)
+    return (
+        grad_attr.astype(dtype),
+        None,
+        None,
+        grad_bary_img.astype(bary_img.dtype),
+        jnp.zeros_like(geom),
+    )
 
 
 _interpolate_core_geom.defvjp(

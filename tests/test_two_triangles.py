@@ -116,7 +116,7 @@ def test_intersection_fit_z_only():
     forward = build_forward(vi, vt, tex, h, w)
     img_gt = jax.jit(forward)(v_gt)
 
-    v0 = v_gt.at[0, 3:, 2].add(jnp.asarray([12.0, -10.0, 8.0]))
+    v0 = v_gt.at[0, 3:, 2].add(jnp.asarray([12.0, -10.0, 8.0], jnp.float32))
 
     def agreement(v):
         idx = dt.rasterize(v, vi, h, w)
