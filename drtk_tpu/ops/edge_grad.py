@@ -35,7 +35,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import epsclamp
+from drtk_tpu.ops.math import epsclamp, psum_cotangent
 from drtk_tpu.ops.rasterize import broadcast_vi
 
 __all__ = ["edge_grad_estimator", "edge_grad_estimator_ref"]
@@ -111,8 +111,15 @@ def _face_normals(v_pix: jnp.ndarray, vi: jnp.ndarray) -> jnp.ndarray:
     return _safe_normalize(jnp.cross(p0 - p2, p1 - p0))
 
 
-def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
-    """Compute grad_v_pix_img [N, 3, H, W] (the CUDA backward kernel)."""
+def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr,
+                        y_offset=0, full_height=None):
+    """Compute grad_v_pix_img [N, 3, H, W] (the CUDA backward kernel).
+
+    ``y_offset``/``full_height`` support row-tile (shard_map) processing:
+    the pixel grids are offset to global coordinates and stencil centers at
+    global row ``full_height - 1`` are masked out (the full-frame kernel
+    never evaluates them: edge_grad_kernel.cu:270 requires y < H-1).
+    """
     dtype = v_pix.dtype
     n, c, h, w = img.shape
 
@@ -160,7 +167,7 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
     pts_d = rows_d[..., :9].reshape(rows_d.shape[:-1] + (3, 3))
 
     px = jnp.arange(sw, dtype=dtype)[None, None, :]
-    py = jnp.arange(sh, dtype=dtype)[None, :, None]
+    py = (jnp.arange(sh) + y_offset).astype(dtype)[None, :, None]
 
     def in_tri(pts, ox, oy):
         return _pix_in_tri(
@@ -244,6 +251,15 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr):
     gvr = jnp.stack([gvr_x, zero, gvr_z], axis=1)
     gvd = jnp.stack([zero, gvd_y, gvd_z], axis=1)
 
+    if full_height is not None:
+        # Row-tile mode: drop stencil centers at the last full-frame row.
+        row_ok = ((jnp.arange(sh) + y_offset) < (full_height - 1)).astype(
+            gvc.dtype
+        )[None, None, :, None]
+        gvc = gvc * row_ok
+        gvr = gvr * row_ok
+        gvd = gvd * row_ok
+
     # ---- negated scatter into the three stencil positions -----------------
     gvc = gvc.astype(dtype)
     gvr = gvr.astype(dtype)
@@ -300,6 +316,95 @@ def _edge_grad_core_bwd(max_dp_dr, res, grad_output):
 _edge_grad_core.defvjp(_edge_grad_core_fwd, _edge_grad_core_bwd)
 
 
+# --------------------------------------------------------------------------
+# SPMD (shard_map) variant: row-sharded blocks with halo exchange
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _edge_grad_core_spmd(v_pix, vi, bary_img, img, index_img, y_offset,
+                         max_dp_dr, axis_name, full_height):
+    return img
+
+
+def _edge_grad_core_spmd_fwd(v_pix, vi, bary_img, img, index_img, y_offset,
+                             max_dp_dr, axis_name, full_height):
+    return img, (v_pix, vi, bary_img, img, index_img, y_offset)
+
+
+def _edge_grad_core_spmd_bwd(max_dp_dr, axis_name, full_height, res, g):
+    """Per-shard CRD backward over a row block [y0, y0+hb) of the full frame.
+
+    The CRD stencil at the block's last row needs the next shard's first row
+    of img / grad_output / index / bary — fetched with one ``ppermute`` per
+    tensor over the mesh axis (riding ICI on hardware). Contributions the
+    stencil writes into that halo row are reduced to *vertex* space locally;
+    the cross-shard sum happens in the psum the enclosing shard_map inserts
+    when transposing the replicated ``v_pix`` broadcast. The last shard gets
+    a synthetic background halo (index -1) and its final-frame row is masked
+    inside ``_edge_grad_backward`` (full-frame semantics: y < H-1).
+    """
+    v_pix, vi, bary_img, img, index_img, y_offset = res
+    n, hb, w = index_img.shape
+    p_cnt = jax.lax.axis_size(axis_name)
+    perm = [(j + 1, j) for j in range(p_cnt - 1)]
+
+    def halo(x, row_axis):
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=row_axis)
+        return jax.lax.ppermute(first, axis_name, perm)
+
+    idx_h = halo(index_img, 1)
+    # ppermute fills non-receiving shards (the last one) with zeros — face 0,
+    # a *valid* id; overwrite with background so the fake halo is inert.
+    is_last = jax.lax.axis_index(axis_name) == (p_cnt - 1)
+    idx_h = jnp.where(is_last, jnp.full_like(idx_h, -1), idx_h)
+
+    img_ext = jnp.concatenate([img, halo(img, 2)], axis=2)
+    g_ext = jnp.concatenate([g, halo(g, 2)], axis=2)
+    bary_ext = jnp.concatenate([bary_img, halo(bary_img, 2)], axis=2)
+    idx_ext = jnp.concatenate([index_img, idx_h], axis=1)
+
+    grad_v_pix_img = _edge_grad_backward(
+        v_pix, vi, img_ext, idx_ext, g_ext, max_dp_dr, y_offset, full_height
+    )
+
+    # Pixel -> vertex reduction over the extended block. Plain row scatter
+    # (shard_map-portable); interpolate's VJP formula with bary detached,
+    # like the reference's v_pix_img indirection.
+    dtype = v_pix.dtype
+    mask = (idx_ext >= 0).astype(dtype)
+    gg = jnp.moveaxis(grad_v_pix_img, 1, -1) * mask[..., None]
+    bary_l = jnp.moveaxis(bary_ext, 1, -1)  # [N, hb+1, W, 3]
+    contrib = bary_l[..., :, None] * gg[..., None, :]  # [.., corner, coord]
+    f_cnt = vi.shape[1]
+    rows = contrib.reshape(n, -1, 9)
+    safe = jnp.maximum(idx_ext, 0).reshape(n, -1)
+
+    def scatter_face(ids, vals):
+        return jnp.zeros((f_cnt, 9), vals.dtype).at[ids].add(
+            vals, mode="promise_in_bounds"
+        )
+
+    grad_face = jax.vmap(scatter_face)(safe, rows).reshape(n, f_cnt * 3, 3)
+    num_v = v_pix.shape[1]
+
+    def scatter_vert(ids, vals):
+        return jnp.zeros((num_v, 3), vals.dtype).at[ids].add(vals)
+
+    grad_v_pix = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
+    return (
+        psum_cotangent(grad_v_pix.astype(dtype), v_pix),
+        None,
+        None,
+        g,
+        None,
+        jnp.zeros_like(y_offset),
+    )
+
+
+_edge_grad_core_spmd.defvjp(_edge_grad_core_spmd_fwd, _edge_grad_core_spmd_bwd)
+
+
 def edge_grad_estimator(
     v_pix: jnp.ndarray,
     vi: jnp.ndarray,
@@ -308,6 +413,9 @@ def edge_grad_estimator(
     index_img: jnp.ndarray,
     v_pix_img_hook: Optional[Callable[[jnp.ndarray], None]] = None,
     max_dp_dr: float = 1e4,
+    spmd_axis_name: Optional[str] = None,
+    y_offset: "int | jnp.ndarray" = 0,
+    full_height: Optional[int] = None,
 ) -> jnp.ndarray:
     """Make the rasterized image differentiable at visibility discontinuities.
 
@@ -327,6 +435,13 @@ def edge_grad_estimator(
         v_pix_img_hook: unsupported in JAX (no backward hooks); pass None.
         max_dp_dr: magnitude clamp for dp/dr (0.0 disables, for
             finite-difference comparisons). Default 1e4.
+        spmd_axis_name: if set, the inputs are row blocks of a frame sharded
+            over this shard_map mesh axis; the backward exchanges one halo
+            row per tensor with ``ppermute`` and reduces vertex gradients
+            locally (summed by the shard_map transpose). Requires
+            ``full_height``.
+        y_offset: global row of this block's first row (traced OK).
+        full_height: full-frame height (row-tile / SPMD mode only).
 
     Returns:
         ``img``, with discontinuity gradients attached.
@@ -337,6 +452,17 @@ def edge_grad_estimator(
             "gradients with jax.grad on v_pix_img instead"
         )
     vi = broadcast_vi(vi, v_pix.shape[0])
+    if spmd_axis_name is not None:
+        if full_height is None:
+            raise ValueError(
+                "edge_grad_estimator: full_height is required with "
+                "spmd_axis_name"
+            )
+        return _edge_grad_core_spmd(
+            v_pix, vi, jax.lax.stop_gradient(bary_img), img, index_img,
+            jnp.asarray(y_offset, jnp.float32), float(max_dp_dr),
+            spmd_axis_name, int(full_height),
+        )
     return _edge_grad_core(
         v_pix, vi, jax.lax.stop_gradient(bary_img), img, index_img,
         float(max_dp_dr),

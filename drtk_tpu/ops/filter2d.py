@@ -173,7 +173,7 @@ def make_resampling_kernel(
     m: int = 1,
     freq_div: float = 1.0,
     gain: float = 1.0,
-    device=None,
+    device: object = None,
 ) -> jnp.ndarray:
     """Build a 1-D low-pass resampling filter of length ``n_taps * m``.
 

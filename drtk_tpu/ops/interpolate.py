@@ -37,6 +37,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from drtk_tpu.ops.math import psum_cotangent
 import numpy as np
 
 from drtk_tpu.ops.rasterize import broadcast_vi
@@ -129,31 +131,28 @@ def _interpolate_core_bwd(res, grad_out):
     grad_bary = jnp.einsum("nhwc,nhwkc->nhwk", g, attrs)
     grad_bary_img = jnp.moveaxis(grad_bary, -1, 1)  # [N, 3, H, W]
 
-    # grad wrt vertex attributes: one packed [P, 3C] row scatter into the
-    # face table, then the cheap face -> vertex reduction.
+    # grad wrt vertex attributes: pixel -> face reduction through the
+    # binned-matmul accumulator with bins derived from index_img itself
+    # (no geometry hint needed), then the cheap face -> vertex reduction.
+    # Wide (x64) cotangents and shard_map blocks take the plain
+    # dtype-preserving scatter inside scatter_rows_to_faces.
+    from drtk_tpu.ops.segment_rows import scatter_rows_to_faces
+
+    h, w = index_img.shape[1:]
     bary = jnp.moveaxis(bary_img, 1, -1)  # [N, H, W, 3]
     contrib = bary[..., None] * g[..., None, :]  # [N, H, W, 3, C]
-    rows = contrib.reshape(n, -1, 3 * c)
-    safe = jnp.maximum(index_img, 0).reshape(n, -1)
     f_cnt = vi.shape[1]
-
-    # Accumulate in the cotangent dtype (which may be wider than the primal
-    # under x64), then cast each returned cotangent to its primal's dtype —
-    # scattering wide values into narrow zeros is a FutureWarning (and soon
-    # an error) in JAX.
-    def scatter_face(ids, vals):
-        return jnp.zeros((f_cnt, 3 * c), rows.dtype).at[ids].add(
-            vals, mode="promise_in_bounds"
-        )
-
-    grad_face = jax.vmap(scatter_face)(safe, rows).reshape(n, f_cnt * 3, c)
+    grad_face = scatter_rows_to_faces(
+        contrib.reshape(n, h, w, 3 * c), index_img, None, vi,
+        interpret=jax.devices()[0].platform != "tpu",
+    ).reshape(n, f_cnt * 3, c)
 
     def scatter_vert(ids, vals):
         return jnp.zeros((num_v, c), grad_face.dtype).at[ids].add(vals)
 
     grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
     return (
-        grad_attr.astype(dtype),
+        psum_cotangent(grad_attr.astype(dtype), vert_attributes),
         None,
         None,
         grad_bary_img.astype(bary_img.dtype),
@@ -205,7 +204,7 @@ def _interpolate_core_geom_bwd(res, grad_out):
 
     grad_attr = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
     return (
-        grad_attr.astype(dtype),
+        psum_cotangent(grad_attr.astype(dtype), vert_attributes),
         None,
         None,
         grad_bary_img.astype(bary_img.dtype),

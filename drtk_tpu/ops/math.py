@@ -12,9 +12,10 @@ inside Pallas kernels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["epsclamp", "eps_for_dtype"]
+__all__ = ["epsclamp", "eps_for_dtype", "vary_like"]
 
 
 def eps_for_dtype(dtype) -> float:
@@ -40,3 +41,45 @@ def epsclamp(x: jnp.ndarray) -> jnp.ndarray:
     """
     eps = eps_for_dtype(x.dtype)
     return jnp.where(x < 0, jnp.minimum(x, -eps), jnp.maximum(x, eps))
+
+
+def vary_like(x: jnp.ndarray, *refs: jnp.ndarray) -> jnp.ndarray:
+    """Mark ``x`` as varying over the shard_map manual axes that any of the
+    ``refs`` vary over. A no-op outside shard_map (or when ``x`` already
+    matches).
+
+    Needed wherever a constant initial value (e.g. a scan carry of
+    -inf / INT32_MAX) meets per-shard data under jax's varying-manual-axes
+    type system.
+    """
+    try:
+        want = set()
+        for r in refs:
+            want |= set(jax.typeof(r).vma)
+        missing = want - set(jax.typeof(x).vma)
+    except AttributeError:  # pragma: no cover - older jax without vma
+        return x
+    if not missing:
+        return x
+    return jax.lax.pcast(x, tuple(sorted(missing)), to="varying")
+
+
+def psum_cotangent(g: jnp.ndarray, primal: jnp.ndarray) -> jnp.ndarray:
+    """Sum a custom-VJP cotangent over the shard_map axes the primal does
+    not vary over. A no-op outside shard_map.
+
+    Inside shard_map, a replicated primal (e.g. the vertex buffer) gets
+    per-shard partial cotangents; the transpose machinery cannot see inside
+    a custom_vjp to insert the reduction, so every custom VJP in the
+    pipeline calls this on its vertex/attribute gradients. This is also
+    exactly the collective SURVEY.md §7.3.6 calls for — the cross-shard
+    vertex-grad psum, placed where XLA can overlap it with the remaining
+    backward.
+    """
+    try:
+        extra = set(jax.typeof(g).vma) - set(jax.typeof(primal).vma)
+    except AttributeError:  # pragma: no cover - older jax
+        return g
+    if not extra:
+        return g
+    return jax.lax.psum(g, tuple(sorted(extra)))

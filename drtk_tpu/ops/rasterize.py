@@ -42,7 +42,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import epsclamp
+from drtk_tpu.ops.math import epsclamp, vary_like
 
 __all__ = ["rasterize", "rasterize_with_depth"]
 
@@ -217,13 +217,24 @@ def _rasterize_xla(
     height: int,
     width: int,
     chunk: int = 32,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Portable XLA rasterizer: scan over triangle chunks, vectorize over
-    pixels. Used on CPU and as the semantics oracle for the Pallas kernel."""
+    pixels. Used on CPU and as the semantics oracle for the Pallas kernel.
+
+    ``y_offset``/``full_height`` select a row-tile viewport: the output is
+    rows [y_offset, y_offset + height) of the ``full_height`` x ``width``
+    full-frame rasterization, **bit-exactly** — the pixel grid is offset (the
+    edge functions are affine in pixel coordinates, so the per-pixel float
+    math is identical to the full-frame evaluation) and the canvas cull stays
+    against the full canvas. ``y_offset`` may be a traced value (it is a
+    per-device quantity under shard_map).
+    """
     n, f_cnt = vi.shape[0], vi.shape[1]
     dtype = v.dtype
     setup = triangle_setup(v, vi)
-    valid = _canvas_cull(setup, height, width)
+    valid = _canvas_cull(setup, full_height or height, width)
 
     # Pad triangle count to a multiple of the chunk size.
     f_pad = -f_cnt % chunk
@@ -248,10 +259,14 @@ def _rasterize_xla(
     chunks = tuple(to_chunks(x) for x in (ea, eb, ec, tl, q, valid, tri_id))
 
     px = jnp.arange(width, dtype=dtype)[None, :]
-    py = jnp.arange(height, dtype=dtype)[:, None]
+    py = (jnp.arange(height) + y_offset).astype(dtype)[:, None]
 
-    best_di = jnp.full((n, height, width), -jnp.inf, dtype=dtype)
-    best_id = jnp.full((n, height, width), _INT32_MAX, dtype=jnp.int32)
+    best_di = vary_like(
+        jnp.full((n, height, width), -jnp.inf, dtype=dtype), py, setup.ea
+    )
+    best_id = vary_like(
+        jnp.full((n, height, width), _INT32_MAX, dtype=jnp.int32), py, setup.ea
+    )
 
     (best_di, best_id), _ = jax.lax.scan(
         functools.partial(_resolve_chunk, px=px, py=py),
@@ -315,12 +330,16 @@ def _rasterize_lines_impl(
     height: int,
     width: int,
     chunk: int = 8,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Actual wireframe implementation (see _rasterize_lines_xla docstring)."""
+    """Actual wireframe implementation (see _rasterize_lines_xla docstring).
+    ``y_offset``/``full_height``: row-tile viewport, as in _rasterize_xla
+    (the border test stays against the full canvas)."""
     n, f_cnt = vi.shape[0], vi.shape[1]
     dtype = v.dtype
     setup = triangle_setup(v, vi)
-    valid = _canvas_cull(setup, height, width)
+    valid = _canvas_cull(setup, full_height or height, width)
 
     flags = (vi[..., 0].astype(jnp.uint32) >> jnp.uint32(28)).astype(jnp.int32)
     vis = jnp.stack([(flags & 1) != 0, (flags & 2) != 0, (flags & 4) != 0], axis=-1)
@@ -366,12 +385,12 @@ def _rasterize_lines_impl(
     chunks = tuple(to_chunks(arrs[k]) for k in keys)
 
     px = jnp.arange(width, dtype=dtype)[None, :]
-    py = jnp.arange(height, dtype=dtype)[:, None]
+    py = (jnp.arange(height) + y_offset).astype(dtype)[:, None]
     xs = jnp.arange(width)
-    ys = jnp.arange(height)
+    ys = jnp.arange(height) + y_offset
     border_ok = (
         ((xs >= 1) & (xs <= width - 2))[None, :]
-        & ((ys >= 1) & (ys <= height - 2))[:, None]
+        & ((ys >= 1) & (ys <= (full_height or height) - 2))[:, None]
     )
 
     def step(carry, chunk_data):
@@ -425,8 +444,12 @@ def _rasterize_lines_impl(
         best_id = jnp.where(take, id_c, best_id)
         return (best_di, best_id), None
 
-    best_di = jnp.full((n, height, width), -jnp.inf, dtype=dtype)
-    best_id = jnp.full((n, height, width), _INT32_MAX, dtype=jnp.int32)
+    best_di = vary_like(
+        jnp.full((n, height, width), -jnp.inf, dtype=dtype), py, setup.ea
+    )
+    best_id = vary_like(
+        jnp.full((n, height, width), _INT32_MAX, dtype=jnp.int32), py, setup.ea
+    )
     (best_di, best_id), _ = jax.lax.scan(step, (best_di, best_id), chunks)
 
     covered = jnp.isfinite(best_di)
@@ -441,13 +464,21 @@ def _rasterize_lines_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "wireframe", "impl")
+    jax.jit,
+    static_argnames=("height", "width", "wireframe", "impl", "full_height"),
 )
-def _rasterize_dispatch(v, vi, height, width, wireframe, impl):
+def _rasterize_dispatch(v, vi, height, width, wireframe, impl, y_offset=0,
+                        full_height=None):
     if wireframe:
-        return _rasterize_lines_impl(v, vi, height, width)
-    if impl == "xla":
-        return _rasterize_xla(v, vi, height, width)
+        return _rasterize_lines_impl(
+            v, vi, height, width, y_offset=y_offset, full_height=full_height
+        )
+    if impl == "xla" or full_height is not None:
+        # Tiled viewports always go through the XLA path (the Pallas kernel
+        # derives its own tile grid from the full frame).
+        return _rasterize_xla(
+            v, vi, height, width, y_offset=y_offset, full_height=full_height
+        )
     # Pallas tile kernel (TPU fast path).
     from drtk_tpu.ops.rasterize_pallas import rasterize_pallas
 
@@ -478,10 +509,17 @@ def rasterize_with_depth(
     width: int,
     wireframe: bool = False,
     impl: str = "auto",
+    y_offset: "int | jnp.ndarray" = 0,
+    full_height: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize and also return the (non-differentiable) depth image.
 
     Mirrors ``drtk.rasterize_with_depth`` (drtk/rasterize.py:69-103).
+
+    ``y_offset``/``full_height`` select a row-tile viewport (rows
+    [y_offset, y_offset+height) of the full_height-row frame), bit-exact
+    with the full-frame result; used for pixel sharding
+    (drtk_tpu.parallel.spmd). ``y_offset`` may be traced.
 
     Returns:
         (depth_img [N, H, W] float, index_img [N, H, W] int32). Background
@@ -510,7 +548,8 @@ def rasterize_with_depth(
     # stopping gradients at the input also keeps autodiff from tracing into
     # the Pallas kernel, which defines no JVP rule.
     depth_img, index_img = _rasterize_dispatch(
-        jax.lax.stop_gradient(v), vi, height, width, wireframe, _choose_impl(impl)
+        jax.lax.stop_gradient(v), vi, height, width, wireframe,
+        _choose_impl(impl), y_offset=y_offset, full_height=full_height,
     )
     return jax.lax.stop_gradient(depth_img), index_img
 
@@ -522,11 +561,16 @@ def rasterize(
     width: int,
     wireframe: bool = False,
     impl: str = "auto",
+    y_offset: "int | jnp.ndarray" = 0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Rasterize a mesh; returns the int32 triangle-index image [N, H, W].
 
     Mirrors ``drtk.rasterize`` (drtk/rasterize.py:17-65). Not differentiable —
     use :func:`drtk_tpu.edge_grad_estimator` for discontinuity gradients.
+    See :func:`rasterize_with_depth` for the row-tile viewport arguments.
     """
-    _, index_img = rasterize_with_depth(v, vi, height, width, wireframe, impl)
+    _, index_img = rasterize_with_depth(
+        v, vi, height, width, wireframe, impl, y_offset, full_height
+    )
     return index_img

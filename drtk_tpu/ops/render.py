@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import epsclamp
+from drtk_tpu.ops.math import epsclamp, psum_cotangent
 from drtk_tpu.ops.rasterize import broadcast_vi
 
 __all__ = ["render", "render_ref"]
@@ -58,7 +58,7 @@ def _gather_face_verts(
     return pix_verts, mask
 
 
-def _render_fwd_math(v, vi, index_img):
+def _render_fwd_math(v, vi, index_img, y_offset=0):
     dtype = v.dtype
     n, h, w = index_img.shape
     pix_verts, mask = _gather_face_verts(v, vi, index_img)
@@ -74,7 +74,7 @@ def _render_fwd_math(v, vi, index_img):
     den = epsclamp(den_raw)
 
     px = jnp.arange(w, dtype=dtype)[None, None, :]
-    py = jnp.arange(h, dtype=dtype)[None, :, None]
+    py = (jnp.arange(h) + y_offset).astype(dtype)[None, :, None]
     vp0p_x = px - p0[..., 0]
     vp0p_y = py - p0[..., 1]
 
@@ -98,18 +98,18 @@ def _render_fwd_math(v, vi, index_img):
 
 
 @jax.custom_vjp
-def _render_core(v, vi, index_img):
-    return _render_fwd_math(v, vi, index_img)
+def _render_core(v, vi, index_img, y_offset):
+    return _render_fwd_math(v, vi, index_img, y_offset)
 
 
-def _render_core_fwd(v, vi, index_img):
-    out = _render_fwd_math(v, vi, index_img)
-    return out, (v, vi, index_img)
+def _render_core_fwd(v, vi, index_img, y_offset):
+    out = _render_fwd_math(v, vi, index_img, y_offset)
+    return out, (v, vi, index_img, y_offset)
 
 
 def _render_core_bwd(res, grads):
     """Mirrors render_backward_kernel (render_kernel.cu:121-281)."""
-    v, vi, index_img = res
+    v, vi, index_img, y_offset = res
     grad_depth_img, grad_bary_img = grads
     dtype = v.dtype
     n, h, w = index_img.shape
@@ -127,7 +127,7 @@ def _render_core_bwd(res, grads):
     den_clamped = den != den_raw
 
     px = jnp.arange(w, dtype=dtype)[None, None, :]
-    py = jnp.arange(h, dtype=dtype)[None, :, None]
+    py = (jnp.arange(h) + y_offset).astype(dtype)[None, :, None]
     vp0p_x = px - p0[..., 0]
     vp0p_y = py - p0[..., 1]
 
@@ -230,14 +230,17 @@ def _render_core_bwd(res, grads):
         return jnp.zeros((num_v, 3), dtype).at[ids].add(vals)
 
     grad_v = jax.vmap(scatter_vert)(vi.reshape(n, -1), grad_face)
-    return grad_v, None, None
+    return psum_cotangent(grad_v, v), None, None, jnp.zeros_like(y_offset)
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
 
 
 def render(
-    v: jnp.ndarray, vi: jnp.ndarray, index_img: jnp.ndarray
+    v: jnp.ndarray,
+    vi: jnp.ndarray,
+    index_img: jnp.ndarray,
+    y_offset: "int | jnp.ndarray" = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render depth and 3-D barycentric images from a rasterized index image.
 
@@ -247,6 +250,10 @@ def render(
         v: [N, V, 3] pixel-space vertex positions (x_pix, y_pix, z_cam).
         vi: [N, F, 3] or [F, 3] int32 triangle indices.
         index_img: [N, H, W] int32 triangle index image (-1 = background).
+        y_offset: global row of index_img's first row, for row-tile
+            rendering (may be traced; used by the shard_map pipeline in
+            drtk_tpu.parallel.spmd). The per-pixel math is bit-identical to
+            the corresponding rows of a full-frame render.
 
     Returns:
         (depth_img [N, H, W], bary_img [N, 3, H, W]); zeros at background.
@@ -258,7 +265,7 @@ def render(
         raise ValueError(
             f"render: expected index_img of shape [N, H, W], got {index_img.shape}"
         )
-    return _render_core(v, vi, index_img)
+    return _render_core(v, vi, index_img, jnp.asarray(y_offset, jnp.float32))
 
 
 def render_ref(

@@ -72,6 +72,58 @@ def _tile_bins(v, vi, height, width):
     return bin_tri, counts, gcounts[:, 0], n_ty, n_tx, cap
 
 
+_N_RANGES = 4
+
+
+def _range_bins(index_img, f_cnt, height, width):
+    """Per-tile candidate bins derived from ``index_img`` alone.
+
+    Greedy min-anchored construction: R = 4 id ranges of width CAP/R per
+    tile — take the tile's smallest face id, cover [m, m + CAP/R), remove,
+    repeat. Any scene whose per-tile face ids fall into <= R clusters of
+    that width is covered exactly (spatially coherent meshes are, including
+    multi-block topologies like the a/b-half grid layout); a per-element
+    residual flag reports uncovered ids so the caller can fall back to the
+    plain scatter. Costs R tile-reductions — no sort, no geometry, and no
+    dependence on the rasterizer's bins.
+
+    Returns (bins [N, T, CAP] int32 with -2 empties, ok [N] bool).
+    """
+    n = index_img.shape[0]
+    n_ty = -(-height // TILE_H)
+    n_tx = -(-width // TILE_W)
+    n_tiles = n_ty * n_tx
+    cap = _bin_capacity(f_cnt, n_tiles)
+    wd = cap // _N_RANGES
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    idx = index_img
+    if (hp, wp) != (height, width):
+        idx = jnp.pad(
+            idx, ((0, 0), (0, hp - height), (0, wp - width)),
+            constant_values=-1,
+        )
+    tiles = (
+        idx.reshape(n, n_ty, TILE_H, n_tx, TILE_W)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n, n_tiles, -1)
+    )
+    big = jnp.int32(2**30)
+    ids = jnp.where(tiles >= 0, tiles, big)
+    starts = []
+    rem = ids
+    for _ in range(_N_RANGES):
+        m = jnp.min(rem, axis=-1)  # [N, T]
+        starts.append(m)
+        rem = jnp.where(rem < (m + wd)[..., None], big, rem)
+    ok = jnp.all(jnp.min(rem, axis=-1) == big, axis=-1)  # [N]
+    lane = jnp.arange(wd, dtype=jnp.int32)
+    bins = jnp.concatenate(
+        [s[..., None] + lane for s in starts], axis=-1
+    )  # [N, T, CAP]
+    bins = jnp.where(bins < f_cnt, bins, -2)
+    return bins, ok
+
+
 def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
     """partials[s, :] = sum over tile pixels p of rows[p] * (idx[p]==ids[s]).
 
@@ -170,6 +222,9 @@ def scatter_rows_to_faces(
         index_img: [N, H, W] int32.
         v / vi: the pixel-space geometry that produced ``index_img`` —
             used to re-derive (and CSE with) the rasterizer's tile bins.
+            ``v=None`` derives candidate bins from ``index_img`` alone
+            (:func:`_range_bins`) — used where the geometry is unavailable,
+            e.g. interpolate's default attribute-gradient path.
         interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Returns:
@@ -179,9 +234,18 @@ def scatter_rows_to_faces(
     f_cnt = vi.shape[1]
     k_dim = rows.shape[-1]
 
-    if rows.dtype == jnp.float64:
+    def _varying(x):
+        try:
+            return bool(jax.typeof(x).vma)
+        except AttributeError:  # pragma: no cover - older jax
+            return False
+
+    if rows.dtype == jnp.float64 or _varying(rows) or _varying(index_img):
         # float64 (oracle mode): the MXU path accumulates in f32; keep the
         # dtype-preserving scatter instead.
+        # shard_map (varying) mode: index_img is a row *block* of the frame
+        # while v is global geometry — the full-frame tile binning would be
+        # misaligned, so use the plain scatter there too.
         safe = jnp.maximum(index_img, 0).reshape(n, -1)
 
         def one(ids, vals):
@@ -189,11 +253,19 @@ def scatter_rows_to_faces(
 
         return jax.vmap(one)(safe, rows.reshape(n, -1, k_dim))
 
-    bin_tri, counts, gcounts, n_ty, n_tx, cap = _tile_bins(v, vi, h, w)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    bins_masked = jnp.where(
-        slot[None, None, :] < counts[..., None], bin_tri, -2
-    )
+    if v is None:
+        n_ty = -(-h // TILE_H)
+        n_tx = -(-w // TILE_W)
+        cap = _bin_capacity(f_cnt, n_ty * n_tx)
+        bins_masked, bins_ok = _range_bins(index_img, f_cnt, h, w)
+        fast_ok = bins_ok
+    else:
+        bin_tri, counts, gcounts, n_ty, n_tx, cap = _tile_bins(v, vi, h, w)
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        bins_masked = jnp.where(
+            slot[None, None, :] < counts[..., None], bin_tri, -2
+        )
+        fast_ok = gcounts == 0
 
     safe_idx = jnp.maximum(index_img, 0)
 
@@ -218,7 +290,7 @@ def scatter_rows_to_faces(
 
         out.append(
             jax.lax.cond(
-                gcounts[b] == 0,
+                fast_ok[b],
                 fast,
                 slow,
                 (rows[b], index_img[b], bins_masked[b]),

@@ -61,7 +61,7 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "pix"))
 
 
-def pipeline_sharding(mesh: Mesh):
+def pipeline_sharding(mesh: Mesh) -> dict:
     """Shardings for the pipeline tensors on ``mesh``.
 
     Returns a dict with entries:

@@ -213,7 +213,7 @@ def project_fisheye_distort_62(
 # --------------------------------------------------------------------------
 
 
-def estimate_rt_fov(D) -> jnp.ndarray:
+def estimate_rt_fov(D: "jnp.ndarray | np.ndarray") -> jnp.ndarray:
     """Smallest positive radius where the radial polynomial can stop being
     monotonic (projection.py:312-360). Host-side, not differentiable."""
     coefs = np.asarray(jax.device_get(D)).astype(np.float64)
@@ -239,7 +239,7 @@ def _solve_monotonic_fisheye_fov(poly: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.tan(np.asarray(fov)).astype(np.float32)[..., None])
 
 
-def estimate_fisheye_fov(D) -> jnp.ndarray:
+def estimate_fisheye_fov(D: "jnp.ndarray | np.ndarray") -> jnp.ndarray:
     """tan(theta) at the first non-monotonic point of the fisheye polynomial,
     capped at pi/2 (projection.py:391-429)."""
     coefs = np.asarray(jax.device_get(D)).astype(np.float64)
@@ -262,7 +262,7 @@ def estimate_fisheye_fov(D) -> jnp.ndarray:
     return _solve_monotonic_fisheye_fov(poly)
 
 
-def estimate_fisheye62_fov(D) -> jnp.ndarray:
+def estimate_fisheye62_fov(D: "jnp.ndarray | np.ndarray") -> jnp.ndarray:
     """Fisheye62 variant including the k4/k5 tail (projection.py:432-482)."""
     coefs = np.asarray(jax.device_get(D)).astype(np.float64)
     assert coefs.shape[-1] >= 6

@@ -27,9 +27,15 @@ def run_case(v, vi, h, w, k=9, seed=0):
     rows = jnp.asarray(
         rng.randn(*index_img.shape, k).astype(np.float32)
     ) * (index_img >= 0)[..., None]
-    out = scatter_rows_to_faces(rows, index_img, v, vi, interpret=True)
     ref = plain_scatter(rows, index_img, vi.shape[1])
+    out = scatter_rows_to_faces(rows, index_img, v, vi, interpret=True)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    # geometry-free mode: bins derived from index_img (interpolate's default).
+    # Scenes that overflow the geometry path's bins (falling back to the
+    # plain scatter there) can still take the MXU fast path here, so allow
+    # f32 accumulation-order noise.
+    out2 = scatter_rows_to_faces(rows, index_img, None, vi, interpret=True)
+    np.testing.assert_allclose(out2, ref, rtol=2e-3, atol=1e-3)
 
 
 def test_fast_path_grid_mesh():
@@ -56,3 +62,27 @@ def test_batched_mixed():
 def test_nonaligned_image():
     v, vi = grid_mesh(h=70, w=130, gn=6)
     run_case(v, vi, 70, 130, k=3)
+
+
+def test_range_bins_residual_fallback():
+    """A tile containing > _N_RANGES scattered id clusters must trip the
+    residual flag and fall back to the exact scatter."""
+    from drtk_tpu.ops.segment_rows import _range_bins
+
+    f_cnt = 20000
+    # one 32x128 tile with ids from 6 widely-spaced clusters
+    idx = np.full((1, 32, 128), -1, np.int32)
+    for i, base in enumerate([0, 3000, 6000, 9000, 12000, 15000]):
+        idx[0, i * 5 : i * 5 + 5, :] = base
+    index_img = jnp.asarray(idx)
+    bins, ok = _range_bins(index_img, f_cnt, 32, 128)
+    assert not bool(ok[0])
+
+    rng = np.random.RandomState(0)
+    rows = jnp.asarray(rng.randn(1, 32, 128, 4).astype(np.float32)) * (
+        index_img >= 0
+    )[..., None]
+    vi = jnp.zeros((1, f_cnt, 3), jnp.int32)
+    out = scatter_rows_to_faces(rows, index_img, None, vi, interpret=True)
+    ref = plain_scatter(rows, index_img, f_cnt)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
