@@ -141,12 +141,16 @@ def _gather_atlas(
     ixc = jnp.clip(ix, 0, wp - 1) + xoff
     iyc = jnp.clip(iy, 0, hp - 1)
 
-    # One row gather per tap from a channels-last flat view (row gathers are
-    # ~2x faster than per-channel element gathers on TPU).
-    rows_img = jnp.moveaxis(atlas, 1, -1).reshape(n, ha * wa, c)
+    # Per-channel ELEMENT gathers from a channel-leading flat view. A
+    # channels-minor [P, C] gather output tile-pads C=3 -> 128 in HBM (42x
+    # memory and traffic); per-channel [P] outputs stay unpadded, which is
+    # worth far more than the row-gather dispatch saving.
     flat = (iyc * wa + ixc).reshape(n, -1)
-    out = jax.vmap(lambda t, ii: t[ii])(rows_img, flat)
-    out = jnp.moveaxis(out, -1, 1).reshape((n, c) + ix.shape[1:])
+    tab = atlas.reshape(n, c, ha * wa)
+    out = jnp.stack(
+        [jax.vmap(lambda t, ii: t[ii])(tab[:, k], flat) for k in range(c)],
+        axis=1,
+    ).reshape((n, c) + ix.shape[1:])
     return jnp.where(inb[:, None], out, 0.0)
 
 
@@ -154,7 +158,10 @@ def _build_quad_atlas(atlas):
     """Quad table for one-row-per-sample bilinear taps: the atlas (padded
     with a zero ring at top/left so bases one texel outside a level read
     true zeros / the correct shifted neighbor) concatenated with its
-    x/y/xy-shifted copies. Returns (quad [N, (Ha+1)*(Wa+1), 4C], Wa+1)."""
+    x/y/xy-shifted copies. Returns (quad [N, (Ha+1)*(Wa+1), 4C], Wa+1) —
+    rows channels-minor for the gather-unit-bound forward; the backward
+    never touches this layout (see _quad_rows_gather).
+    """
     n, c, ha, wa = atlas.shape
     t = jnp.moveaxis(atlas, 1, -1)  # [N, Ha, Wa, C]
     t = jnp.pad(t, ((0, 0), (1, 0), (1, 0), (0, 0)))
@@ -165,13 +172,136 @@ def _build_quad_atlas(atlas):
     return quad.reshape(n, (ha + 1) * (wa + 1), 4 * c), wa + 1
 
 
+def _blocked_taps(x, bs=32):
+    """[..., T, H, W] -> [..., P] with consecutive runs of bs*bs*T taps
+    coming from bs x bs pixel squares (pad as needed) — the spatial-coherence
+    ordering drtk_tpu.ops.window_accum relies on. Leading axes pass through
+    (so [N, K, T, H, W] rows block without ever being taps-minor)."""
+    t, h, w = x.shape[-3:]
+    lead = x.shape[:-3]
+    ph, pw = -h % bs, -w % bs
+    if ph or pw:
+        pad = [(0, 0)] * len(lead) + [(0, 0), (0, ph), (0, pw)]
+        x = jnp.pad(x, pad)
+    hb, wb = (h + ph) // bs, (w + pw) // bs
+    x = x.reshape(lead + (t, hb, bs, wb, bs))
+    # -> [..., hb, wb, bs, bs, t]
+    x = jnp.transpose(
+        x,
+        tuple(range(len(lead)))
+        + tuple(len(lead) + i for i in (1, 3, 2, 4, 0)),
+    )
+    return x.reshape(lead + (hb * wb * bs * bs * t,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _quad_rows_gather(quad, by, bx, wq, xoffs):
+    """rows[n, k, t, h, w] = quad[n, by*wq + bx, k].
+
+    Forward: ONE row gather per sample (the gather unit amortizes its
+    per-element cost over the 4C-float row; per-channel element gathers are
+    ~5x slower), transposed straight into the channel-leading
+    [N, K, T, H, W] layout — so the padded [P, K]-minor gather result is a
+    single transient, never the custom-vjp boundary.
+
+    Backward: the texture gradient goes through
+    drtk_tpu.ops.window_accum.window_accumulate instead of XLA's sort-based
+    scatter-add, entirely in channel-leading layouts (a [P, K]-minor tensor
+    gets (8,128)-tile-padded ~10x in HBM).
+
+    by/bx: [N, T, H, W] int32 (always in bounds);
+    quad: [N, Hq*Wq, K]; xoffs: static per-level atlas x-offsets, used by
+    the backward to group taps by mip level (levels sit side by side in the
+    atlas, so mixed-level pixel blocks would otherwise span it and defeat
+    the windows). Returns [N, K, T, H, W].
+    """
+    n = quad.shape[0]
+    k = quad.shape[-1]
+    flat = (by * wq + bx).reshape(n, -1)
+    rows = jax.vmap(lambda q, ii: q[ii])(quad, flat)  # [N, P, K]
+    rows = jnp.moveaxis(rows, -1, 1)  # [N, K, P]
+    return rows.reshape((n, k) + by.shape[1:])
+
+
+def _quad_rows_gather_fwd(quad, by, bx, wq, xoffs):
+    return _quad_rows_gather(quad, by, bx, wq, xoffs), (by, bx, quad.shape)
+
+
+def _quad_rows_gather_bwd(wq, xoffs, res, g):
+    by, bx, quad_shape = res
+    n, rq, k = quad_shape
+    hq = rq // wq
+
+    if g.dtype == jnp.float64 or _varying(g):
+        # x64 oracle runs and shard_map blocks: dtype-preserving per-channel
+        # scatters (the window path accumulates in f32 / assumes full
+        # frames).
+        flat = (by * wq + bx).reshape(n, -1)
+        gq = jnp.stack(
+            [
+                jax.vmap(
+                    lambda ids, vals: jnp.zeros((rq,), g.dtype)
+                    .at[ids]
+                    .add(vals)
+                )(flat, g[:, j].reshape(n, -1))
+                for j in range(k)
+            ],
+            axis=-1,
+        )
+        return (gq, None, None)
+
+    from drtk_tpu.ops.window_accum import window_accumulate
+
+    bs = 32
+    t = by.shape[1]
+    rows_b = _blocked_taps(g.astype(jnp.float32), bs)  # [N, K, P]
+    iy_b = _blocked_taps(by, bs)
+    ix_b = _blocked_taps(bx, bs)
+    # padded taps read texel 0 in fwd; mark them inert (their g is 0 anyway,
+    # but their coords must not stretch the windows)
+    inert = _blocked_taps(jnp.ones(by.shape, jnp.int32), bs) == 0
+    iy_b = jnp.where(inert, -1, iy_b)
+
+    wq_pad = max(-(-wq // 128) * 128, 256)
+    hq_pad = max(-(-hq // 8) * 8, 80)
+    interpret = jax.devices()[0].platform != "tpu"
+    # One accumulate pass per mip level: mask taps to the level's atlas
+    # x-range so every block's window covers one level's tight bbox (blocks
+    # with no taps at a level cost nothing — their kernel step is fully
+    # predicated out).
+    bounds = list(xoffs) + [1 << 30]
+    acc = 0.0
+    for l in range(len(xoffs)):
+        in_l = (ix_b >= bounds[l]) & (ix_b < bounds[l + 1])
+        acc = acc + window_accumulate(
+            rows_b, jnp.where(in_l, iy_b, -1), ix_b, hq_pad, wq_pad,
+            block=bs * bs * t, win_h=80, interpret=interpret,
+        )
+    gq = acc[:, :, :hq, :wq]
+    # back to the forward's flat channels-minor table layout
+    gq = jnp.moveaxis(gq.reshape(n, k, rq), 1, -1)
+    return (gq.astype(g.dtype), None, None)
+
+
+def _varying(x):
+    try:
+        return bool(jax.typeof(x).vma)
+    except AttributeError:  # pragma: no cover - older jax
+        return False
+
+
+_quad_rows_gather.defvjp(_quad_rows_gather_fwd, _quad_rows_gather_bwd)
+
+
 def _sample_level_bilinear(quad_info, u, v, wp, hp, xoff, padding_mode):
     """Bilinear sample at normalized (u, v) from the per-pixel level
-    described by (wp, hp, xoff): ONE quad-table row gather per sample
-    (4x fewer gathers; the VJP is one row scatter). u/v/wp/hp/xoff: [N, *S]."""
-    quad, wq = quad_info
-    n = quad.shape[0]
+    described by (wp, hp, xoff): ONE quad-table gather per (sample, channel)
+    with a window-accumulated VJP. u/v/wp/hp/xoff: [N, T, H, W] (tap-last
+    layout — the minor dims stay the big image axes throughout). Returns
+    [N, C, T, H, W]."""
+    quad, wq, xoffs = quad_info
     c = quad.shape[-1] // 4
+    hq = quad.shape[1] // wq
     x = _fold_dyn(_unnormalize_dyn(u, wp.astype(u.dtype)), wp.astype(u.dtype), padding_mode)
     y = _fold_dyn(_unnormalize_dyn(v, hp.astype(u.dtype)), hp.astype(u.dtype), padding_mode)
     x0f = jnp.floor(x)
@@ -181,28 +311,25 @@ def _sample_level_bilinear(quad_info, u, v, wp, hp, xoff, padding_mode):
     ix = x0f.astype(jnp.int32)
     iy = y0f.astype(jnp.int32)
 
-    ha = quad.shape[1] // wq - 1
     bx = jnp.clip(xoff + ix + 1, 0, wq - 1)
-    by = jnp.clip(iy + 1, 0, ha)
-    rows = jax.vmap(lambda q, ii: q[ii])(
-        quad, (by * wq + bx).reshape(n, -1)
-    ).reshape(ix.shape + (4, c))
+    by = jnp.clip(iy + 1, 0, hq - 1)
+    rows = _quad_rows_gather(quad, by, bx, wq, xoffs)  # [N, 4C, T, H, W]
 
-    wts = jnp.stack(
-        [(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty], axis=-1
-    )
+    wts = [(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty]
     if padding_mode == "zeros":
         inx0 = (ix >= 0) & (ix < wp)
         inx1 = (ix + 1 >= 0) & (ix + 1 < wp)
         iny0 = (iy >= 0) & (iy < hp)
         iny1 = (iy + 1 >= 0) & (iy + 1 < hp)
-        wts = wts * jnp.stack(
-            [inx0 & iny0, inx1 & iny0, inx0 & iny1, inx1 & iny1], axis=-1
-        )
+        masks = [inx0 & iny0, inx1 & iny0, inx0 & iny1, inx1 & iny1]
+        wts = [w * m for w, m in zip(wts, masks)]
     # border/reflection: coords pre-folded into the level, and the +1 taps
     # carry zero weight exactly at the level edge.
-    out = jnp.einsum("...kc,...k->...c", rows, wts.astype(rows.dtype))
-    return jnp.moveaxis(out, -1, 1)
+    out = 0.0
+    for corner in range(4):
+        w_c = wts[corner][:, None].astype(rows.dtype)
+        out = out + rows[:, corner * c : (corner + 1) * c] * w_c
+    return out  # [N, C, T, H, W]
 
 
 def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
@@ -239,17 +366,17 @@ def _sample_level_bicubic(atlas, u, v, wp, hp, xoff, padding_mode):
             vf = jnp.clip(vf, 0, sizef - 1)
         return vf.astype(jnp.int32)
 
+    # 16 per-channel element gathers in the tap-last layout: every tensor
+    # keeps the big image axes minor, so nothing gets (8,128)-tile-padded.
     out = 0.0
     for j in range(4):
         raw_iy = y0 + (j - 1)
         iy = raw_iy if padding_mode == "zeros" else bound(raw_iy, hpf)
-        row = 0.0
         for i in range(4):
             raw_ix = x0 + (i - 1)
             ix = raw_ix if padding_mode == "zeros" else bound(raw_ix, wpf)
-            tap = _gather_atlas(atlas, ix, iy, wp, hp, xoff)
-            row = row + tap * wx[i][:, None]
-        out = out + row * wy[j][:, None]
+            tap = _gather_atlas(atlas, ix, iy, wp, hp, xoff)  # [N, C, ...]
+            out = out + tap * (wx[i] * wy[j])[:, None].astype(tap.dtype)
     return out
 
 
@@ -284,6 +411,9 @@ def _mipmap_grid_sample_impl(
     base_h, base_w = levels[0].shape[2:]
 
     atlas, w_tab, h_tab, xoff_tab = _build_atlas(levels)
+    # Static per-level x-offsets (level widths are static shapes).
+    _ws = [lvl.shape[3] for lvl in levels]
+    xoffs_py = [sum(_ws[:i]) for i in range(len(_ws))]
 
     # ---- mip selection (kernel.cu:451-503), all non-differentiable --------
     d = jax.lax.stop_gradient(vt_dxdy_img)  # [N, H, W, 2, 2]
@@ -331,19 +461,24 @@ def _mipmap_grid_sample_impl(
     dv = jnp.where(x_dom, dvdx, dvdy).astype(dt)
 
     # i = 0..max_aniso-1 tap fractions: (i+1)/(N+1)*2-1, masked at i >= N.
-    i_arr = jnp.arange(max_aniso, dtype=dt)
-    frac = (i_arr + 1.0) / (n_f[..., None] + 1.0) * 2.0 - 1.0  # [N,H,W,T]
-    tap_mask = (i_arr[None, None, None] < n_f[..., None]).astype(dt)
+    # Tap-LAST layout everywhere: taps on axis 1, image axes minor —
+    # taps/channels-minor tensors get (8,128)-tile-padded 10-30x in HBM.
+    i_arr = jnp.arange(max_aniso, dtype=dt)[None, :, None, None]
+    frac = (i_arr + 1.0) / (n_f[:, None] + 1.0) * 2.0 - 1.0  # [N,T,H,W]
+    tap_mask = (i_arr < n_f[:, None]).astype(dt)
 
-    u_t = u[..., None] + du[..., None] * frac  # [N, H, W, T]
-    v_t = v[..., None] + dv[..., None] * frac
+    u_t = u[:, None] + du[:, None] * frac  # [N, T, H, W]
+    v_t = v[:, None] + dv[:, None] * frac
 
     # ---- per-pixel level parameters ---------------------------------------
-    def level_params(idx):  # idx [N, H, W] -> ([N,H,W],)*3
-        return w_tab[idx], h_tab[idx], xoff_tab[idx]
+    def level_params(idx):  # idx [N, H, W] -> ([N, 1, H, W],)*3
+        return w_tab[idx][:, None], h_tab[idx][:, None], xoff_tab[idx][:, None]
 
     if mode == "bilinear":
-        quad_info = _build_quad_atlas(atlas)
+        quad, wq_q = _build_quad_atlas(atlas)
+        # quad-table x-offsets: level x-ranges shift by the zero-ring column
+        xoffs_static = tuple(int(x) for x in xoffs_py)
+        quad_info = (quad, wq_q, xoffs_static)
         sample = functools.partial(_sample_level_bilinear, quad_info)
     else:
         sample = functools.partial(_sample_level_bicubic, atlas)
@@ -351,14 +486,9 @@ def _mipmap_grid_sample_impl(
     def sample_taps(level_idx):
         wp, hp, xoff = level_params(level_idx)
         out = sample(
-            u_t,
-            v_t,
-            wp[..., None],
-            hp[..., None],
-            xoff[..., None],
-            padding_mode,
-        )  # [N, C, H, W, T]
-        return jnp.sum(out * tap_mask[:, None], axis=-1)  # [N, C, H, W]
+            u_t, v_t, wp, hp, xoff, padding_mode
+        )  # [N, C, T, H, W]
+        return jnp.sum(out * tap_mask[:, None], axis=2)  # [N, C, H, W]
 
     inv_n = 1.0 / n_f
     out = sample_taps(d1) * ((1.0 - a) * inv_n)[:, None]

@@ -1,0 +1,271 @@
+"""Windowed 2-D accumulation: the TPU-native texture-gradient scatter.
+
+Texture gradients (mipmap / grid-scatter style backwards) accumulate
+millions of per-tap rows into texel tables. XLA lowers a scatter-add to a
+full sort + segmented sum — measured ~90 ms per 1M x12 rows on v5e, and tap
+counts reach 8M/frame, so the sort IS the mipmap backward (VERDICT r1 #8).
+
+The taps are not random, though: consecutive pixels sample neighbouring
+texels (that is what mip selection guarantees). This module exploits that:
+
+1. Split the taps into blocks of B spatially-coherent taps (the caller
+   orders taps by pixel squares, e.g. 32x32 px).
+2. Per block, compute a dense (win_h x 256) texel *window* around the
+   block's bounding box, with the origin aligned to the f32 (8, 128) HBM
+   tiling so dynamic DMA slicing is legal. Blocks whose bbox exceeds the
+   window trip a per-batch fallback to the plain scatter — never wrong.
+3. A Pallas kernel turns each block into window partials with on-the-fly
+   one-hot MXU matmuls (the segmented reduction as a matmul, like
+   drtk_tpu.ops.segment_rows), predicated to the rows / column-halves the
+   bbox actually touches, then read-modify-writes the window into the HBM
+   output at its dynamic offset. Grid steps are sequential on a TPU core,
+   so overlapping windows from consecutive blocks are race-free.
+
+No sort anywhere: the cost is one predicated MXU pass over (taps x window)
+plus dense window DMA — an order of magnitude under the scatter at mipmap
+shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["window_accumulate"]
+
+_WIN_W = 256  # window width: two 128-lane column halves (x-origin aligned)
+
+
+def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
+                   win_ref, sem, *, win_h, k_dim):
+    """One block: predicated partials into win_ref, then RMW into out_ref.
+
+    org_ref:  (NB, 6) SMEM int32 (scalar-prefetched):
+              y0/8, x0/128 (aligned window origin, pre-divided by the tile
+              so alignment is provable), ry0, ry1 (used row range,
+              inclusive), cx1 (1 if the second column half is used), used
+              (1 if the block has any live tap).
+    rows_ref: (1, K, B) VMEM f32 tap rows.
+    cell_ref: (1, 1, B) VMEM i32 window-cell index (-1 = inert tap).
+    acc_in_ref / out_ref: (K, out_h, out_w) HBM accumulator — aliased
+        input/output; all access goes through out_ref.
+    win_ref:  (K, win_h, WIN_W) VMEM scratch.
+    """
+    del acc_in_ref  # same buffer as out_ref
+    i = pl.program_id(0)
+    # Origins are stored pre-divided by the (8, 128) tile so Mosaic can
+    # PROVE the dynamic DMA slice offsets are tile-aligned.
+    y0 = org_ref[i, 0] * 8
+    x0 = org_ref[i, 1] * 128
+    ry0 = org_ref[i, 2]
+    ry1 = org_ref[i, 3]
+    cx1 = org_ref[i, 4]
+    used = org_ref[i, 5]
+
+    @pl.when(used == 1)
+    def _():
+        read = pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0, _WIN_W)], win_ref, sem
+        )
+        read.start()
+        rows = rows_ref[0]  # (K, B)
+        cells = cell_ref[0]  # (1, B)
+        # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate
+        # product needs only a two-term bf16 split of the rows (hi + lo,
+        # ~1e-7 relative) — 2 single-pass MXU dots per slab instead of the
+        # 6 passes Precision.HIGHEST would issue for f32 x f32.
+        rows_hi = rows.astype(jnp.bfloat16)
+        rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        read.wait()
+
+        # Static row unroll: Mosaic cannot index VMEM sublanes dynamically.
+        # The @pl.when predication still skips rows/halves outside the
+        # block's bounding box at run time.
+        for r in range(win_h):
+            @pl.when((r >= ry0) & (r <= ry1))
+            def _(r=r):
+                for c in range(2):
+                    @pl.when((c == 0) | (cx1 == 1))
+                    def _(r=r, c=c):
+                        ids = r * _WIN_W + c * 128 + jax.lax.broadcasted_iota(
+                            jnp.int32, (128, 1), 0
+                        )
+                        onehot = (ids == cells).astype(jnp.bfloat16)  # (128,B)
+                        dims = (((1,), (1,)), ((), ()))
+                        part = jax.lax.dot_general(
+                            rows_hi, onehot, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32,
+                        ) + jax.lax.dot_general(
+                            rows_lo, onehot, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        win_ref[:, r, c * 128 : (c + 1) * 128] += part
+
+        write = pltpu.make_async_copy(
+            win_ref, out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0, _WIN_W)], sem
+        )
+        write.start()
+        write.wait()
+
+
+def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
+                             win_h, k_dim, interpret):
+    """rows_b [NB, K, B], cells_b [NB, 1, B], origins_b [NB, 6]
+    -> [K, out_h, out_w] (single batch element)."""
+    nb, _, b = rows_b.shape
+    zeros = jnp.zeros((k_dim, out_h, out_w), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # origins [NB, 6] land whole in SMEM
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, k_dim, b), lambda i, org: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, b), lambda i, org: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, win_h, _WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_window_kernel, win_h=win_h, k_dim=k_dim),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_dim, out_h, out_w), jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(origins_b, rows_b, cells_b, zeros)
+
+
+def window_accumulate(
+    rows: jnp.ndarray,
+    iy: jnp.ndarray,
+    ix: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    block: int = 4096,
+    win_h: int = 80,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Accumulate ``rows`` at 2-D targets (iy, ix) into [N, K, out_h, out_w].
+
+    Args:
+        rows: [N, K, P] float32 contributions, channel-leading — [P, K]-minor
+            layouts get murdered by the (8, 128) HBM tiling (K=12 pads 10x).
+            Taps must be ordered so each consecutive ``block`` of them is
+            spatially coherent (e.g. by pixel squares) — that is what bounds
+            the windows.
+        iy / ix: [N, P] int32 target coordinates; negative iy marks inert
+            taps (skipped in both paths; their rows need not be zero).
+        out_h / out_w: output table size. ``out_h`` must be a multiple of 8
+            and >= ``win_h``; ``out_w`` a multiple of 128 and >= 256 (pad
+            the table; window origins are tile-aligned and clamped).
+        block: taps per window block (multiple of 128).
+        win_h: window height in rows (multiple of 8; width is fixed at 256).
+        interpret: run the Pallas kernel in interpreter mode (CPU tests).
+
+    Returns:
+        [N, K, out_h, out_w] float32. Falls back to per-channel scatter-adds
+        for batch elements whose blocks exceed the window — identical
+        result, scatter speed.
+    """
+    if out_h % 8 or out_h < win_h:
+        raise ValueError(f"out_h {out_h} must be a multiple of 8 >= {win_h}")
+    if out_w % 128 or out_w < _WIN_W:
+        raise ValueError(f"out_w {out_w} must be a multiple of 128 >= 256")
+    if win_h % 8:
+        raise ValueError(f"win_h {win_h} must be a multiple of 8")
+
+    n, k_dim, p = rows.shape
+    if p % block != 0:
+        pad = -p % block
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad)))
+        iy = jnp.pad(iy, ((0, 0), (0, pad)), constant_values=-1)
+        ix = jnp.pad(ix, ((0, 0), (0, pad)), constant_values=0)
+        p += pad
+    nb = p // block
+
+    valid = iy >= 0
+    big = jnp.int32(1 << 30)
+    iy_b = iy.reshape(n, nb, block)
+    ix_b = ix.reshape(n, nb, block)
+    v_b = valid.reshape(n, nb, block)
+
+    ymin = jnp.min(jnp.where(v_b, iy_b, big), axis=-1)
+    ymax = jnp.max(jnp.where(v_b, iy_b, -1), axis=-1)
+    xmin = jnp.min(jnp.where(v_b, ix_b, big), axis=-1)
+    xmax = jnp.max(jnp.where(v_b, ix_b, -1), axis=-1)
+    used = ymax >= 0
+    ymin = jnp.where(used, ymin, 0)
+    xmin = jnp.where(used, xmin, 0)
+
+    # Tile-aligned window origins, clamped in bounds (out_h/out_w keep the
+    # alignment under the clamp).
+    y0 = jnp.clip((ymin // 8) * 8, 0, out_h - win_h)
+    x0 = jnp.clip((xmin // 128) * 128, 0, out_w - _WIN_W)
+    fits = ~used | (
+        (ymax - y0 < win_h)
+        & (xmax - x0 < _WIN_W)
+        & (ymax < out_h)
+        & (xmax < out_w)
+    )
+    ok = jnp.all(fits, axis=-1)  # [N]
+
+    ry0 = jnp.maximum(ymin - y0, 0)
+    ry1 = jnp.clip(ymax - y0, 0, win_h - 1)
+    cx1 = (jnp.clip(xmax - x0, 0, _WIN_W - 1) >= 128).astype(jnp.int32)
+    origins = jnp.stack(
+        [y0 // 8, x0 // 128, ry0, ry1, cx1, used.astype(jnp.int32)], axis=-1
+    ).astype(jnp.int32)
+
+    cells = (iy_b - y0[..., None]) * _WIN_W + (ix_b - x0[..., None])
+    cells = jnp.where(v_b, cells, -1).astype(jnp.int32)
+
+    # Channel-leading blocked layout shared by BOTH branches — no [P, K]
+    # materialization anywhere (it tile-pads 10x in HBM).
+    rows_b = jnp.moveaxis(
+        rows.astype(jnp.float32).reshape(n, k_dim, nb, block), 1, 2
+    )  # [N, NB, K, B]
+    cells_b = cells[:, :, None, :]  # [N, NB, 1, B]
+    flat = (jnp.maximum(iy, 0) * out_w + ix).astype(jnp.int32)
+
+    out = []
+    for bidx in range(n):
+
+        def fast(args):
+            rows_i, cells_i, org_i = args
+            return _windowed_accumulate_one(
+                rows_i, cells_i, org_i, out_h, out_w, win_h, k_dim, interpret
+            )
+
+        def slow(args):
+            del args
+            # Per-channel element scatters: unpadded [P] payloads; inert
+            # taps masked to zero contributions.
+            live = valid[bidx].astype(jnp.float32)
+            acc = [
+                jnp.zeros((out_h * out_w,), jnp.float32)
+                .at[flat[bidx]]
+                .add(rows[bidx, k] * live, mode="promise_in_bounds")
+                for k in range(k_dim)
+            ]
+            return jnp.stack(acc).reshape(k_dim, out_h, out_w)
+
+        out.append(
+            jax.lax.cond(
+                ok[bidx],
+                fast,
+                slow,
+                (rows_b[bidx], cells_b[bidx], origins[bidx]),
+            )
+        )
+    return jnp.stack(out)
