@@ -164,8 +164,11 @@ def bench_inverse8(n_iters=10, h=512, gn=81):
         .astype(np.float32)
     )
     camrot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (views, 1, 1)))
+    # Frame the mesh to fill the canvas (f ~ 0.45*w*z/extent): a mesh
+    # crammed into a couple of tiles measures bin-overflow handling, not
+    # full-frame throughput.
     focal = jnp.asarray(
-        np.tile(np.diag([0.43 * h, 0.43 * h]).astype(np.float32), (views, 1, 1))
+        np.tile(np.diag([1.9 * h, 1.9 * h]).astype(np.float32), (views, 1, 1))
     )
     princpt = jnp.asarray(
         np.tile(np.array([w / 2, h / 2], np.float32), (views, 1))
@@ -289,7 +292,7 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
         vt_dxdy = jnp.stack([dx, dy], axis=-2) * 0.5  # to 0..1 uv units
         rgb = mipmap_grid_sample(
             levels, uv, vt_dxdy, max_aniso=2, mode="bilinear",
-            padding_mode="border",
+            padding_mode="border", clip_grad=True,
         )
         maskf = (index_img != -1)[:, None].astype(jnp.float32)
         fg = dt.edge_grad_estimator(

@@ -172,26 +172,33 @@ def _build_quad_atlas(atlas):
     return quad.reshape(n, (ha + 1) * (wa + 1), 4 * c), wa + 1
 
 
-def _blocked_taps(x, bs=32):
-    """[..., T, H, W] -> [..., P] with consecutive runs of bs*bs*T taps
-    coming from bs x bs pixel squares (pad as needed) — the spatial-coherence
-    ordering drtk_tpu.ops.window_accum relies on. Leading axes pass through
-    (so [N, K, T, H, W] rows block without ever being taps-minor)."""
+_BLK_H = 8
+_BLK_W = 128
+
+
+def _blocked_taps(x):
+    """[..., T, H, W] -> [..., P] with consecutive runs of T*8*128 taps
+    coming from 8x128-pixel rectangles — the spatial-coherence ordering
+    drtk_tpu.ops.window_accum relies on. The rectangle matches the (8, 128)
+    HBM tile, so the reorder transpose's minor dims stay exactly (8, 128)
+    and nothing gets tile-padded (a square blocking materialized a 10x
+    padded intermediate — 16 GB at 4K). Leading axes pass through (so
+    [N, K, T, H, W] rows block without ever being taps-minor)."""
     t, h, w = x.shape[-3:]
     lead = x.shape[:-3]
-    ph, pw = -h % bs, -w % bs
+    ph, pw = -h % _BLK_H, -w % _BLK_W
     if ph or pw:
-        pad = [(0, 0)] * len(lead) + [(0, 0), (0, ph), (0, pw)]
+        pad = [(0, 0)] * (len(lead) + 1) + [(0, ph), (0, pw)]
         x = jnp.pad(x, pad)
-    hb, wb = (h + ph) // bs, (w + pw) // bs
-    x = x.reshape(lead + (t, hb, bs, wb, bs))
-    # -> [..., hb, wb, bs, bs, t]
+    hb, wb = (h + ph) // _BLK_H, (w + pw) // _BLK_W
+    x = x.reshape(lead + (t, hb, _BLK_H, wb, _BLK_W))
+    # -> [..., hb, wb, t, 8, 128]: minor dims (8, 128), unpadded.
     x = jnp.transpose(
         x,
         tuple(range(len(lead)))
-        + tuple(len(lead) + i for i in (1, 3, 2, 4, 0)),
+        + tuple(len(lead) + i for i in (1, 3, 0, 2, 4)),
     )
-    return x.reshape(lead + (hb * wb * bs * bs * t,))
+    return x.reshape(lead + (hb * wb * t * _BLK_H * _BLK_W,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -252,30 +259,31 @@ def _quad_rows_gather_bwd(wq, xoffs, res, g):
 
     from drtk_tpu.ops.window_accum import window_accumulate
 
-    bs = 32
     t = by.shape[1]
-    rows_b = _blocked_taps(g.astype(jnp.float32), bs)  # [N, K, P]
-    iy_b = _blocked_taps(by, bs)
-    ix_b = _blocked_taps(bx, bs)
+    rows_b = _blocked_taps(g.astype(jnp.float32))  # [N, K, P]
+    iy_b = _blocked_taps(by)
+    ix_b = _blocked_taps(bx)
     # padded taps read texel 0 in fwd; mark them inert (their g is 0 anyway,
     # but their coords must not stretch the windows)
-    inert = _blocked_taps(jnp.ones(by.shape, jnp.int32), bs) == 0
+    inert = _blocked_taps(jnp.ones(by.shape, jnp.int32)) == 0
     iy_b = jnp.where(inert, -1, iy_b)
 
-    wq_pad = max(-(-wq // 128) * 128, 256)
-    hq_pad = max(-(-hq // 8) * 8, 80)
+    wq_pad = max(-(-wq // 128) * 128, 512)
+    hq_pad = max(-(-hq // 8) * 8, 48)
     interpret = jax.devices()[0].platform != "tpu"
     # One accumulate pass per mip level: mask taps to the level's atlas
     # x-range so every block's window covers one level's tight bbox (blocks
     # with no taps at a level cost nothing — their kernel step is fully
-    # predicated out).
+    # predicated out). Window 48 x 512: an 8x128-px rect at <=2 texels/px
+    # stride plus tap spread and origin alignment.
     bounds = list(xoffs) + [1 << 30]
     acc = 0.0
     for l in range(len(xoffs)):
         in_l = (ix_b >= bounds[l]) & (ix_b < bounds[l + 1])
         acc = acc + window_accumulate(
             rows_b, jnp.where(in_l, iy_b, -1), ix_b, hq_pad, wq_pad,
-            block=bs * bs * t, win_h=80, interpret=interpret,
+            block=t * _BLK_H * _BLK_W, win_h=48, win_w=512,
+            interpret=interpret,
         )
     gq = acc[:, :, :hq, :wq]
     # back to the forward's flat channels-minor table layout

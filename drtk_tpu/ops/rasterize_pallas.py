@@ -65,7 +65,11 @@ def _next_pow2(x: int) -> int:
 
 
 def _bin_capacity(num_faces: int, num_tiles: int) -> int:
-    """Static per-tile bin capacity: ~8x the mean pair density, clamped."""
+    """Static per-tile bin capacity: ~8x the mean pair density, clamped.
+
+    The upper clamp trades SMEM block size against global-list pressure:
+    every bin-overflow triangle is marched by EVERY tile, so dense scenes
+    (few tiles, many triangles) degrade fast once bins overflow."""
     mean = max(1, (num_faces * 4) // max(1, num_tiles))
     return min(512, max(128, _next_pow2(8 * mean)))
 

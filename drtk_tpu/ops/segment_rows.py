@@ -135,17 +135,26 @@ def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
     """
     idx_row = idx_ref[0]  # (1, PIX)
     rows = rows_ref[0]  # (K, PIX)
+    # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate product
+    # needs only a two-term bf16 split of the rows (hi + lo, ~1e-7
+    # relative) — 2 single-pass MXU dots instead of the 6 passes
+    # Precision.HIGHEST issues for f32 x f32.
+    rows_hi = rows.astype(jnp.bfloat16)
+    rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     for c in range(cap // 128):
         ids_col = ids_ref[0, pl.ds(c * 128, 128), :]  # (128, 1)
-        onehot = (ids_col == idx_row).astype(jnp.float32)  # [128, PIX]
+        onehot = (ids_col == idx_row).astype(jnp.bfloat16)  # [128, PIX]
+        dims = (((1,), (1,)), ((), ()))
         out_ref[0, pl.ds(c * 128, 128), :] = jax.lax.dot_general(
             onehot,
-            rows,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            rows_hi,
+            dimension_numbers=dims,
             preferred_element_type=jnp.float32,
-            # Full f32 accumulation: the default lets the MXU truncate the
-            # operands to bf16, which costs ~1e-3 relative gradient error.
-            precision=jax.lax.Precision.HIGHEST,
+        ) + jax.lax.dot_general(
+            onehot,
+            rows_lo,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
         )
 
 
@@ -269,31 +278,34 @@ def scatter_rows_to_faces(
 
     safe_idx = jnp.maximum(index_img, 0)
 
-    out = []
-    for b in range(n):  # python loop keeps lax.cond a true runtime branch
-        def fast(args):
-            rows_b, idx_b, bins_b = args
-            return _binned_accumulate(
-                rows_b, idx_b, bins_b, n_ty, n_tx, cap, f_cnt, interpret
+    # One runtime branch for the WHOLE batch (a per-element python loop of
+    # conds serializes N small kernel launches — it halved throughput at
+    # batch 8). If any element trips the fallback condition, the whole
+    # batch takes the plain scatter; mixed batches are pathological scenes.
+    def fast(args):
+        rows_a, idx_a, bins_a = args
+        return jax.vmap(
+            lambda r, i, bn: _binned_accumulate(
+                r, i, bn, n_ty, n_tx, cap, f_cnt, interpret
             )
+        )(rows_a, idx_a, bins_a)
 
-        def slow(args):
-            rows_b, _, _ = args
+    def slow(args):
+        rows_a, _, _ = args
+
+        def one(ids, vals):
             return (
                 jnp.zeros((f_cnt, k_dim), jnp.float32)
-                .at[safe_idx[b].reshape(-1)]
+                .at[ids.reshape(-1)]
                 .add(
-                    rows_b.reshape(-1, k_dim).astype(jnp.float32),
+                    vals.reshape(-1, k_dim).astype(jnp.float32),
                     mode="promise_in_bounds",
                 )
             )
 
-        out.append(
-            jax.lax.cond(
-                fast_ok[b],
-                fast,
-                slow,
-                (rows[b], index_img[b], bins_masked[b]),
-            )
-        )
-    return jnp.stack(out).astype(rows.dtype)
+        return jax.vmap(one)(safe_idx, rows_a)
+
+    out = jax.lax.cond(
+        jnp.all(fast_ok), fast, slow, (rows, index_img, bins_masked)
+    )
+    return out.astype(rows.dtype)

@@ -37,41 +37,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["window_accumulate"]
 
-_WIN_W = 256  # window width: two 128-lane column halves (x-origin aligned)
-
 
 def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
-                   win_ref, sem, *, win_h, k_dim):
+                   win_ref, sem, *, win_h, win_w, k_dim):
     """One block: predicated partials into win_ref, then RMW into out_ref.
 
-    org_ref:  (NB, 6) SMEM int32 (scalar-prefetched):
+    org_ref:  (8, NB) SMEM int32 (scalar-prefetched, fields on sublane):
               y0/8, x0/128 (aligned window origin, pre-divided by the tile
               so alignment is provable), ry0, ry1 (used row range,
-              inclusive), cx1 (1 if the second column half is used), used
-              (1 if the block has any live tap).
+              inclusive), cxm (last used 128-column half), used (1 if the
+              block has any live tap).
     rows_ref: (1, K, B) VMEM f32 tap rows.
     cell_ref: (1, 1, B) VMEM i32 window-cell index (-1 = inert tap).
     acc_in_ref / out_ref: (K, out_h, out_w) HBM accumulator — aliased
         input/output; all access goes through out_ref.
-    win_ref:  (K, win_h, WIN_W) VMEM scratch.
+    win_ref:  (K, win_h, win_w) VMEM scratch.
+
+    Both the MXU work and the window DMA are predicated per 128-column
+    half, so wide windows only cost what the block's bbox actually touches.
     """
     del acc_in_ref  # same buffer as out_ref
     i = pl.program_id(0)
     # Origins are stored pre-divided by the (8, 128) tile so Mosaic can
-    # PROVE the dynamic DMA slice offsets are tile-aligned.
-    y0 = org_ref[i, 0] * 8
-    x0 = org_ref[i, 1] * 128
-    ry0 = org_ref[i, 2]
-    ry1 = org_ref[i, 3]
-    cx1 = org_ref[i, 4]
-    used = org_ref[i, 5]
+    # PROVE the dynamic DMA slice offsets are tile-aligned. Layout is
+    # fields-on-sublane [8, NB] — a [NB, fields] array would lane-pad to
+    # [NB, 128] in SMEM (8 MB at 4K frames, over the SMEM budget).
+    y0 = org_ref[0, i] * 8
+    x0 = org_ref[1, i] * 128
+    ry0 = org_ref[2, i]
+    ry1 = org_ref[3, i]
+    cxm = org_ref[4, i]
+    used = org_ref[5, i]
+    halves = win_w // 128
+
+    def half_copy(c):
+        return pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0 + c * 128, 128)],
+            win_ref.at[:, :, pl.ds(c * 128, 128)],
+            sem,
+        )
 
     @pl.when(used == 1)
     def _():
-        read = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0, _WIN_W)], win_ref, sem
-        )
-        read.start()
+        for c in range(halves):
+            @pl.when(c <= cxm)
+            def _(c=c):
+                half_copy(c).start()
         rows = rows_ref[0]  # (K, B)
         cells = cell_ref[0]  # (1, B)
         # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate
@@ -80,7 +91,10 @@ def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
         # 6 passes Precision.HIGHEST would issue for f32 x f32.
         rows_hi = rows.astype(jnp.bfloat16)
         rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        read.wait()
+        for c in range(halves):
+            @pl.when(c <= cxm)
+            def _(c=c):
+                half_copy(c).wait()
 
         # Static row unroll: Mosaic cannot index VMEM sublanes dynamically.
         # The @pl.when predication still skips rows/halves outside the
@@ -88,10 +102,10 @@ def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
         for r in range(win_h):
             @pl.when((r >= ry0) & (r <= ry1))
             def _(r=r):
-                for c in range(2):
-                    @pl.when((c == 0) | (cx1 == 1))
+                for c in range(halves):
+                    @pl.when(c <= cxm)
                     def _(r=r, c=c):
-                        ids = r * _WIN_W + c * 128 + jax.lax.broadcasted_iota(
+                        ids = r * win_w + c * 128 + jax.lax.broadcasted_iota(
                             jnp.int32, (128, 1), 0
                         )
                         onehot = (ids == cells).astype(jnp.bfloat16)  # (128,B)
@@ -105,21 +119,32 @@ def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
                         )
                         win_ref[:, r, c * 128 : (c + 1) * 128] += part
 
-        write = pltpu.make_async_copy(
-            win_ref, out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0, _WIN_W)], sem
-        )
-        write.start()
-        write.wait()
+        def half_write(c):
+            return pltpu.make_async_copy(
+                win_ref.at[:, :, pl.ds(c * 128, 128)],
+                out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0 + c * 128, 128)],
+                sem,
+            )
+
+        for c in range(halves):
+            @pl.when(c <= cxm)
+            def _(c=c):
+                half_write(c).start()
+        for c in range(halves):
+            @pl.when(c <= cxm)
+            def _(c=c):
+                half_write(c).wait()
 
 
 def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
-                             win_h, k_dim, interpret):
-    """rows_b [NB, K, B], cells_b [NB, 1, B], origins_b [NB, 6]
+                             win_h, win_w, k_dim, interpret):
+    """rows_b [NB, K, B], cells_b [NB, 1, B], origins_b [8, NB]
     -> [K, out_h, out_w] (single batch element)."""
-    nb, _, b = rows_b.shape
+    nb = rows_b.shape[0]
+    b = rows_b.shape[2]
     zeros = jnp.zeros((k_dim, out_h, out_w), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # origins [NB, 6] land whole in SMEM
+        num_scalar_prefetch=1,  # origins [8, NB] land whole in SMEM
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(
@@ -133,12 +158,14 @@ def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((k_dim, win_h, _WIN_W), jnp.float32),
+            pltpu.VMEM((k_dim, win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_window_kernel, win_h=win_h, k_dim=k_dim),
+        functools.partial(
+            _window_kernel, win_h=win_h, win_w=win_w, k_dim=k_dim
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_dim, out_h, out_w), jnp.float32),
         input_output_aliases={3: 0},
@@ -154,6 +181,7 @@ def window_accumulate(
     out_w: int,
     block: int = 4096,
     win_h: int = 80,
+    win_w: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Accumulate ``rows`` at 2-D targets (iy, ix) into [N, K, out_h, out_w].
@@ -170,7 +198,10 @@ def window_accumulate(
             and >= ``win_h``; ``out_w`` a multiple of 128 and >= 256 (pad
             the table; window origins are tile-aligned and clamped).
         block: taps per window block (multiple of 128).
-        win_h: window height in rows (multiple of 8; width is fixed at 256).
+        win_h: window height in rows (multiple of 8).
+        win_w: window width (multiple of 128, >= 256); compute and DMA are
+            predicated per 128-column half, so width costs only what each
+            block's bbox touches.
         interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Returns:
@@ -180,10 +211,12 @@ def window_accumulate(
     """
     if out_h % 8 or out_h < win_h:
         raise ValueError(f"out_h {out_h} must be a multiple of 8 >= {win_h}")
-    if out_w % 128 or out_w < _WIN_W:
-        raise ValueError(f"out_w {out_w} must be a multiple of 128 >= 256")
+    if out_w % 128 or out_w < win_w:
+        raise ValueError(f"out_w {out_w} must be a multiple of 128 >= {win_w}")
     if win_h % 8:
         raise ValueError(f"win_h {win_h} must be a multiple of 8")
+    if win_w % 128 or win_w < 256:
+        raise ValueError(f"win_w {win_w} must be a multiple of 128 >= 256")
 
     n, k_dim, p = rows.shape
     if p % block != 0:
@@ -211,10 +244,10 @@ def window_accumulate(
     # Tile-aligned window origins, clamped in bounds (out_h/out_w keep the
     # alignment under the clamp).
     y0 = jnp.clip((ymin // 8) * 8, 0, out_h - win_h)
-    x0 = jnp.clip((xmin // 128) * 128, 0, out_w - _WIN_W)
+    x0 = jnp.clip((xmin // 128) * 128, 0, out_w - win_w)
     fits = ~used | (
         (ymax - y0 < win_h)
-        & (xmax - x0 < _WIN_W)
+        & (xmax - x0 < win_w)
         & (ymax < out_h)
         & (xmax < out_w)
     )
@@ -222,12 +255,13 @@ def window_accumulate(
 
     ry0 = jnp.maximum(ymin - y0, 0)
     ry1 = jnp.clip(ymax - y0, 0, win_h - 1)
-    cx1 = (jnp.clip(xmax - x0, 0, _WIN_W - 1) >= 128).astype(jnp.int32)
+    cxm = jnp.clip(xmax - x0, 0, win_w - 1) // 128
     origins = jnp.stack(
-        [y0 // 8, x0 // 128, ry0, ry1, cx1, used.astype(jnp.int32)], axis=-1
-    ).astype(jnp.int32)
+        [y0 // 8, x0 // 128, ry0, ry1, cxm, used.astype(jnp.int32),
+         jnp.zeros_like(y0), jnp.zeros_like(y0)], axis=-2
+    ).astype(jnp.int32)  # [N, 8, NB]
 
-    cells = (iy_b - y0[..., None]) * _WIN_W + (ix_b - x0[..., None])
+    cells = (iy_b - y0[..., None]) * win_w + (ix_b - x0[..., None])
     cells = jnp.where(v_b, cells, -1).astype(jnp.int32)
 
     # Channel-leading blocked layout shared by BOTH branches — no [P, K]
@@ -238,34 +272,34 @@ def window_accumulate(
     cells_b = cells[:, :, None, :]  # [N, NB, 1, B]
     flat = (jnp.maximum(iy, 0) * out_w + ix).astype(jnp.int32)
 
-    out = []
-    for bidx in range(n):
-
-        def fast(args):
-            rows_i, cells_i, org_i = args
-            return _windowed_accumulate_one(
-                rows_i, cells_i, org_i, out_h, out_w, win_h, k_dim, interpret
+    # One runtime branch for the whole batch (per-element cond loops
+    # serialize N kernel launches); a single overflowing element sends the
+    # whole batch to the scatter path — pathological scenes only.
+    def fast(args):
+        rows_a, cells_a, org_a = args
+        return jax.vmap(
+            lambda r, c_, o: _windowed_accumulate_one(
+                r, c_, o, out_h, out_w, win_h, win_w, k_dim, interpret
             )
+        )(rows_a, cells_a, org_a)
 
-        def slow(args):
-            del args
-            # Per-channel element scatters: unpadded [P] payloads; inert
-            # taps masked to zero contributions.
-            live = valid[bidx].astype(jnp.float32)
+    def slow(args):
+        del args
+        # Per-channel element scatters: unpadded [P] payloads; inert taps
+        # masked to zero contributions.
+        live = valid.astype(jnp.float32)
+
+        def one(f, r, lv):
             acc = [
                 jnp.zeros((out_h * out_w,), jnp.float32)
-                .at[flat[bidx]]
-                .add(rows[bidx, k] * live, mode="promise_in_bounds")
+                .at[f]
+                .add(r[k] * lv, mode="promise_in_bounds")
                 for k in range(k_dim)
             ]
             return jnp.stack(acc).reshape(k_dim, out_h, out_w)
 
-        out.append(
-            jax.lax.cond(
-                ok[bidx],
-                fast,
-                slow,
-                (rows_b[bidx], cells_b[bidx], origins[bidx]),
-            )
-        )
-    return jnp.stack(out)
+        return jax.vmap(one)(flat, rows, live)
+
+    return jax.lax.cond(
+        jnp.all(ok), fast, slow, (rows_b, cells_b, origins)
+    )
