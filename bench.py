@@ -309,9 +309,15 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
+    # Remat the forward: the combined residual set (mipmap taps + render
+    # geometry + edge_grad stencils at 16 Mpix) otherwise exceeds HBM and
+    # XLA falls into a memory-squeezed schedule ~1.7x slower than
+    # recompute-in-backward.
+    loss_ckpt = jax.checkpoint(loss_fn)
+
     @jax.jit
     def train_step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_ckpt)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
