@@ -231,11 +231,17 @@ def _quad_rows_gather(quad, by, bx, wq, xoffs):
 
 
 def _quad_rows_gather_fwd(quad, by, bx, wq, xoffs):
-    return _quad_rows_gather(quad, by, bx, wq, xoffs), (by, bx, quad.shape)
+    # quad[:0] is a zero-byte vma token: under shard_map the cotangent must
+    # be psummed down to the primal's varying axes (ops.math.psum_cotangent).
+    return _quad_rows_gather(quad, by, bx, wq, xoffs), (
+        by, bx, quad.shape, quad[:0]
+    )
 
 
 def _quad_rows_gather_bwd(wq, xoffs, res, g):
-    by, bx, quad_shape = res
+    from drtk_tpu.ops.math import psum_cotangent
+
+    by, bx, quad_shape, quad_tok = res
     n, rq, k = quad_shape
     hq = rq // wq
 
@@ -255,7 +261,7 @@ def _quad_rows_gather_bwd(wq, xoffs, res, g):
             ],
             axis=-1,
         )
-        return (gq, None, None)
+        return (psum_cotangent(gq, quad_tok), None, None)
 
     from drtk_tpu.ops.window_accum import window_accumulate
 
@@ -288,7 +294,7 @@ def _quad_rows_gather_bwd(wq, xoffs, res, g):
     gq = acc[:, :, :hq, :wq]
     # back to the forward's flat channels-minor table layout
     gq = jnp.moveaxis(gq.reshape(n, k, rq), 1, -1)
-    return (gq.astype(g.dtype), None, None)
+    return (psum_cotangent(gq.astype(g.dtype), quad_tok), None, None)
 
 
 def _varying(x):
@@ -348,6 +354,50 @@ def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
     w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
     w3 = a * (t2 - t3)
     return (w0, w1, w2, w3)
+
+
+def _sample_level_bicubic_quad(quad_info, u, v, wp, hp, xoff, padding_mode):
+    """Bicubic via the quad table (zeros padding only): the 4x4 stencil is a
+    2x2 grid of 2x2 texel blocks, so FOUR quad-row gathers replace the 16
+    per-channel element gathers of the bounded path — and the texture
+    gradient rides the same window-accumulated VJP as bilinear. Out-of-level
+    taps are weight-masked (the zeros contract: get_value_bounded returns 0,
+    grid_utils.h:83-101), so whatever a clipped quad row gathered is inert.
+    """
+    quad, wq, xoffs = quad_info
+    c = quad.shape[-1] // 4
+    hq = quad.shape[1] // wq
+    dt = u.dtype
+    wpf = wp.astype(dt)
+    hpf = hp.astype(dt)
+    x = _unnormalize_dyn(u, wpf)
+    y = _unnormalize_dyn(v, hpf)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = _cubic_weights(x - x0f)
+    wy = _cubic_weights(y - y0f)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    out = 0.0
+    for bj in range(2):
+        for bi in range(2):
+            ix = x0 + (2 * bi - 1)  # level-local x of the block's corner
+            iy = y0 + (2 * bj - 1)
+            bx = jnp.clip(xoff + ix + 1, 0, wq - 1)
+            by = jnp.clip(iy + 1, 0, hq - 1)
+            rows = _quad_rows_gather(quad, by, bx, wq, xoffs)
+            for corner, (dx_, dy_) in enumerate(
+                [(0, 0), (1, 0), (0, 1), (1, 1)]
+            ):
+                i = 2 * bi + dx_
+                j = 2 * bj + dy_
+                tx = ix + dx_
+                ty = iy + dy_
+                inb = (tx >= 0) & (tx < wp) & (ty >= 0) & (ty < hp)
+                w_c = (wx[i] * wy[j] * inb)[:, None].astype(rows.dtype)
+                out = out + rows[:, corner * c : (corner + 1) * c] * w_c
+    return out  # [N, C, T, H, W]
 
 
 def _sample_level_bicubic(atlas, u, v, wp, hp, xoff, padding_mode):
@@ -482,13 +532,20 @@ def _mipmap_grid_sample_impl(
     def level_params(idx):  # idx [N, H, W] -> ([N, 1, H, W],)*3
         return w_tab[idx][:, None], h_tab[idx][:, None], xoff_tab[idx][:, None]
 
-    if mode == "bilinear":
+    if mode == "bilinear" or padding_mode == "zeros":
         quad, wq_q = _build_quad_atlas(atlas)
         # quad-table x-offsets: level x-ranges shift by the zero-ring column
         xoffs_static = tuple(int(x) for x in xoffs_py)
         quad_info = (quad, wq_q, xoffs_static)
-        sample = functools.partial(_sample_level_bilinear, quad_info)
+        level_sampler = (
+            _sample_level_bilinear
+            if mode == "bilinear"
+            else _sample_level_bicubic_quad
+        )
+        sample = functools.partial(level_sampler, quad_info)
     else:
+        # bicubic border/reflection: per-tap folding breaks the 2x2 block
+        # structure, so those modes keep the bounded element-gather path.
         sample = functools.partial(_sample_level_bicubic, atlas)
 
     def sample_taps(level_idx):

@@ -470,9 +470,14 @@ def _rasterize_lines_impl(
 def _rasterize_dispatch(v, vi, height, width, wireframe, impl, y_offset=0,
                         full_height=None):
     if wireframe:
-        return _rasterize_lines_impl(
-            v, vi, height, width, y_offset=y_offset, full_height=full_height
-        )
+        if impl == "xla" or full_height is not None:
+            return _rasterize_lines_impl(
+                v, vi, height, width, y_offset=y_offset,
+                full_height=full_height,
+            )
+        from drtk_tpu.ops.rasterize_pallas import rasterize_lines_pallas
+
+        return rasterize_lines_pallas(v, vi, height, width)
     if impl == "xla" or full_height is not None:
         # Tiled viewports always go through the XLA path (the Pallas kernel
         # derives its own tile grid from the full frame).

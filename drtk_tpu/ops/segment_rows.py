@@ -6,19 +6,22 @@ with ``fastAtomicAdd`` / warp-segmented sums, interpolate_kernel.cu:205-280).
 A plain XLA scatter-add of a million rows is the TPU's slowest primitive;
 this module replaces it with a **binned matmul**:
 
-1. Reuse the rasterizer's tile binning (drtk_tpu/ops/rasterize_pallas):
-   each 32x128 tile knows the candidate faces that can appear in it, in a
-   dense ``[T, CAP]`` list. Re-deriving the bins from (v, vi) inside the
-   backward emits the identical subgraph the forward rasterize built, so
-   XLA CSE shares the work.
+1. Derive per-tile candidate-face bins from ``index_img`` alone
+   (:func:`_range_bins` — R min-anchored id ranges per 32x128 tile, a few
+   tile reductions, no sort and no geometry). Ids a tile's ranges miss
+   raise a residual flag that routes the whole batch to the plain scatter,
+   so the fast path is never wrong. (An earlier design re-derived the
+   rasterizer's geometry bins for CSE with the forward; the forward now
+   builds sorted segments instead, and the index-derived bins are cheaper
+   than the shared subgraph ever was.)
 2. A Pallas kernel computes, per tile, ``partials = onehot^T @ rows`` on
    the MXU, where ``onehot[p, s] = (index_img[p] == bin_ids[s])`` is built
    on the fly in VMEM — a segment reduction as a 4096x128x K matmul.
 3. One scatter of the bin partials (T*CAP rows, ~8x fewer than pixels)
    finishes the job.
 
-Faces routed to the rasterizer's global list are not in any bin, so the
-fast path is only exact when the global list is empty; a runtime
+Ids that fall outside every range flip a residual flag, so the fast path
+is only taken when the bins cover the index image exactly; a runtime
 ``lax.cond`` falls back to the plain scatter otherwise (never wrong, just
 slower on pathological scenes).
 """
@@ -32,60 +35,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from drtk_tpu.ops.rasterize import _canvas_cull, triangle_setup
-from drtk_tpu.ops.rasterize_pallas import (
-    TILE_H,
-    TILE_W,
-    _bin_capacity,
-    _bin_triangles,
-    _GCHUNK,
-    _pack_setup,
-)
+# Accumulation tile: 32x128 px = 4096-lane MXU dots per id slab. Decoupled
+# from the rasterizer's resolve tile (whose height is tuned separately).
+TILE_H = 32
+TILE_W = 128
 
 __all__ = ["scatter_rows_to_faces"]
 
 
-def _tile_bins(v, vi, height, width):
-    """Identical binning subgraph to rasterize_pallas.rasterize_pallas —
-    emitted so XLA CSE can share it with the forward rasterize."""
-    n, f_cnt = vi.shape[0], vi.shape[1]
-    n_ty = -(-height // TILE_H)
-    n_tx = -(-width // TILE_W)
-    n_tiles = n_ty * n_tx
-    cap = _bin_capacity(f_cnt, n_tiles)
-
-    setup = triangle_setup(v.astype(jnp.float32), vi)
-    valid = _canvas_cull(setup, height, width)
-    setup_rows = _pack_setup(setup, valid)
-
-    f_pad = -f_cnt % _GCHUNK
-    if f_pad:
-        setup_rows = jnp.pad(setup_rows, ((0, 0), (0, f_pad), (0, 0)))
-        bbox_p = jnp.pad(setup.bbox, ((0, 0), (0, f_pad), (0, 0)))
-        valid = jnp.pad(valid, ((0, 0), (0, f_pad)))
-    else:
-        bbox_p = setup.bbox
-
-    _, bin_tri, counts, _, gcounts = jax.vmap(
-        lambda rows, bbox, val: _bin_triangles(rows, bbox, val, n_tx, n_ty, cap)
-    )(setup_rows, bbox_p, valid)
-    return bin_tri, counts, gcounts[:, 0], n_ty, n_tx, cap
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
 
 
-_N_RANGES = 4
+def _bin_capacity(num_faces: int, num_tiles: int) -> int:
+    """Static per-tile candidate capacity: ~8x the mean face density per
+    tile, clamped to [128, 512] (the MXU one-hot slabs come in 128s)."""
+    mean = max(1, (num_faces * 4) // max(1, num_tiles))
+    return min(512, max(128, _next_pow2(8 * mean)))
+
+
+_RANGE_WIDTH = 32
 
 
 def _range_bins(index_img, f_cnt, height, width):
     """Per-tile candidate bins derived from ``index_img`` alone.
 
-    Greedy min-anchored construction: R = 4 id ranges of width CAP/R per
-    tile — take the tile's smallest face id, cover [m, m + CAP/R), remove,
-    repeat. Any scene whose per-tile face ids fall into <= R clusters of
-    that width is covered exactly (spatially coherent meshes are, including
-    multi-block topologies like the a/b-half grid layout); a per-element
-    residual flag reports uncovered ids so the caller can fall back to the
-    plain scatter. Costs R tile-reductions — no sort, no geometry, and no
-    dependence on the rasterizer's bins.
+    Greedy min-anchored construction: R = CAP/32 id ranges of width 32 per
+    tile — take the tile's smallest face id, cover [m, m + 32), remove,
+    repeat. Narrow ranges compose: a dense id cluster wider than 32 is
+    covered by consecutive ranges (the greedy min re-anchors right after
+    the previous range), while scattered clusters each get their own — so
+    any per-tile id set that fits in CAP/32 clusters-of-32 (after splitting
+    wide clusters) is covered exactly. Spatially coherent meshes are,
+    including multi-block topologies like the a/b-half grid layout, whose
+    32x128-px tiles cut ~2x5 grid rows = up to ~12 clusters (4 wide ranges
+    missed those and silently fell back — a 17% end-to-end regression). A
+    per-element residual flag reports uncovered ids so the caller can fall
+    back to the plain scatter. Costs R tile-reductions — no sort, no
+    geometry, and no dependence on the rasterizer's internals.
 
     Returns (bins [N, T, CAP] int32 with -2 empties, ok [N] bool).
     """
@@ -94,7 +84,8 @@ def _range_bins(index_img, f_cnt, height, width):
     n_tx = -(-width // TILE_W)
     n_tiles = n_ty * n_tx
     cap = _bin_capacity(f_cnt, n_tiles)
-    wd = cap // _N_RANGES
+    wd = _RANGE_WIDTH
+    n_ranges = cap // wd
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
     idx = index_img
     if (hp, wp) != (height, width):
@@ -111,7 +102,7 @@ def _range_bins(index_img, f_cnt, height, width):
     ids = jnp.where(tiles >= 0, tiles, big)
     starts = []
     rem = ids
-    for _ in range(_N_RANGES):
+    for _ in range(n_ranges):
         m = jnp.min(rem, axis=-1)  # [N, T]
         starts.append(m)
         rem = jnp.where(rem < (m + wd)[..., None], big, rem)
@@ -229,11 +220,11 @@ def scatter_rows_to_faces(
             zeroed — they are dropped by the fast path and added to face 0
             by the fallback, matching the callers' masking convention).
         index_img: [N, H, W] int32.
-        v / vi: the pixel-space geometry that produced ``index_img`` —
-            used to re-derive (and CSE with) the rasterizer's tile bins.
-            ``v=None`` derives candidate bins from ``index_img`` alone
-            (:func:`_range_bins`) — used where the geometry is unavailable,
-            e.g. interpolate's default attribute-gradient path.
+        v / vi: the geometry that produced ``index_img``. Only
+            ``vi.shape[1]`` (the face count) is consulted; candidate bins
+            are derived from ``index_img`` alone (:func:`_range_bins`), so
+            ``v=None`` is fine — e.g. interpolate's default
+            attribute-gradient path has no geometry at all.
         interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Returns:
@@ -262,19 +253,11 @@ def scatter_rows_to_faces(
 
         return jax.vmap(one)(safe, rows.reshape(n, -1, k_dim))
 
-    if v is None:
-        n_ty = -(-h // TILE_H)
-        n_tx = -(-w // TILE_W)
-        cap = _bin_capacity(f_cnt, n_ty * n_tx)
-        bins_masked, bins_ok = _range_bins(index_img, f_cnt, h, w)
-        fast_ok = bins_ok
-    else:
-        bin_tri, counts, gcounts, n_ty, n_tx, cap = _tile_bins(v, vi, h, w)
-        slot = jnp.arange(cap, dtype=jnp.int32)
-        bins_masked = jnp.where(
-            slot[None, None, :] < counts[..., None], bin_tri, -2
-        )
-        fast_ok = gcounts == 0
+    del v  # index-derived bins need no geometry
+    n_ty = -(-h // TILE_H)
+    n_tx = -(-w // TILE_W)
+    cap = _bin_capacity(f_cnt, n_ty * n_tx)
+    bins_masked, fast_ok = _range_bins(index_img, f_cnt, h, w)
 
     safe_idx = jnp.maximum(index_img, 0)
 

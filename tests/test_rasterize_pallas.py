@@ -133,3 +133,72 @@ def test_fuzz_random_meshes():
             zmax=9.0,
         )
         assert_match(v, vi, 64, 128)
+
+
+# --------------------------------------------------------------------------
+# Wireframe (diamond-exit) kernel parity
+# --------------------------------------------------------------------------
+
+
+def assert_lines_match(v, vi, h, w):
+    from drtk_tpu.ops.rasterize import _rasterize_lines_impl
+    from drtk_tpu.ops.rasterize_pallas import rasterize_lines_pallas
+
+    vi = jnp.broadcast_to(vi[None], (v.shape[0],) + vi.shape) if vi.ndim == 2 else vi
+    d_ref, i_ref = jax.jit(
+        lambda v, vi: _rasterize_lines_impl(v, vi, h, w)
+    )(v.astype(jnp.float32), vi)
+    d_pal, i_pal = rasterize_lines_pallas(
+        v.astype(jnp.float32), vi, h, w, interpret=True
+    )
+    i_ref = np.asarray(i_ref)
+    i_pal = np.asarray(i_pal)
+    d_ref = np.asarray(d_ref)
+    d_pal = np.asarray(d_pal)
+    mism = i_ref != i_pal
+    if mism.any():
+        assert mism.mean() < 1e-3, f"{mism.sum()} index mismatches"
+        near_tie = np.abs(d_ref - d_pal) <= 1e-4 * np.abs(d_ref) + 1e-6
+        assert near_tie[mism].all(), "index mismatch at non-tied depth"
+    np.testing.assert_allclose(d_ref, d_pal, rtol=1e-4, atol=1e-6)
+
+
+def _with_wire_flags(vi, flags=0x7):
+    vi = np.array(vi)
+    packed = (vi[..., 0].astype(np.uint32) | np.uint32(flags << 28)).astype(
+        np.int64
+    )
+    packed = np.where(packed >= 2**31, packed - 2**32, packed)
+    vi[..., 0] = packed.astype(np.int32)
+    return jnp.asarray(vi)
+
+
+def test_wireframe_two_triangles():
+    v, vi, _ = two_triangles_scene(h=128, w=256)
+    assert_lines_match(v, _with_wire_flags(vi), 128, 256)
+
+
+def test_wireframe_random_mesh():
+    v, vi = random_mesh(jax.random.PRNGKey(7), n=2, num_v=48, num_f=72,
+                        h=96, w=160)
+    assert_lines_match(v, _with_wire_flags(vi), 96, 160)
+
+
+def test_wireframe_partial_edge_flags():
+    # Only some edges visible per face (the per-edge visibility nibble).
+    v, vi = random_mesh(jax.random.PRNGKey(8), n=1, num_v=32, num_f=48,
+                        h=64, w=128)
+    vi_f = np.array(vi)
+    flags = (np.arange(vi_f.shape[0]) % 7 + 1).astype(np.uint32)
+    vi_f[:, 0] = (vi_f[:, 0].astype(np.uint32) | (flags << 28)).astype(np.int32)
+    assert_lines_match(v, jnp.asarray(vi_f), 64, 128)
+
+
+def test_wireframe_huge_triangles_global_list():
+    rng = np.random.RandomState(9)
+    h = w = 256
+    xy = rng.uniform(-0.5, 1.5, (1, 24, 2)).astype(np.float32) * [w, h]
+    z = rng.uniform(2.0, 8.0, (1, 24, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1))
+    vi = jnp.asarray(rng.randint(0, 24, (30, 3)).astype(np.int32))
+    assert_lines_match(v, _with_wire_flags(vi), h, w)

@@ -65,15 +65,21 @@ def test_nonaligned_image():
 
 
 def test_range_bins_residual_fallback():
-    """A tile containing > _N_RANGES scattered id clusters must trip the
-    residual flag and fall back to the exact scatter."""
-    from drtk_tpu.ops.segment_rows import _range_bins
+    """A tile containing more scattered id clusters than the bins have
+    ranges must trip the residual flag and fall back to the exact
+    scatter."""
+    from drtk_tpu.ops.segment_rows import (
+        _RANGE_WIDTH,
+        _bin_capacity,
+        _range_bins,
+    )
 
-    f_cnt = 20000
-    # one 32x128 tile with ids from 6 widely-spaced clusters
+    f_cnt = 200000
+    n_clusters = _bin_capacity(f_cnt, 1) // _RANGE_WIDTH + 2
+    # one 32x128 tile with ids from widely-spaced clusters, one per row
     idx = np.full((1, 32, 128), -1, np.int32)
-    for i, base in enumerate([0, 3000, 6000, 9000, 12000, 15000]):
-        idx[0, i * 5 : i * 5 + 5, :] = base
+    for i in range(n_clusters):
+        idx[0, i, :] = i * 10000
     index_img = jnp.asarray(idx)
     bins, ok = _range_bins(index_img, f_cnt, 32, 128)
     assert not bool(ok[0])
