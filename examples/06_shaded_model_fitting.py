@@ -1,0 +1,352 @@
+"""Shaded model fitting — pose, geometry, material, and light.
+
+TPU-native counterpart of the reference's hand-fitting tutorial
+(/root/reference/docs/source/tutorials/DRTK_Tutorial_hand_fitting.ipynb):
+fit a rigid pose (quaternion + translation), per-vertex geometry, Blinn-
+Phong material (albedo, specular color, gloss), light direction/ambient,
+and a low-res background to rendered target images, regularized by a
+cotangent-Laplacian smoothness term. Three views instead of the notebook's
+one, so the recovered shape is verifiable: a single textureless view is
+bas-relief-ambiguous (shape x albedo x light have a continuous family of
+image-identical solutions).
+
+The reference notebook loads ``hand.obj`` + a photo; this example is
+self-contained: the "model" is a procedurally deformed octahedron sphere,
+and the target is rendered with ground-truth parameters, so convergence is
+verifiable (report pose/vertex errors at the end).
+
+Everything differentiable runs inside ONE jitted Adam step: rasterize ->
+render -> interpolate(normals, positions) -> shade -> edge_grad_estimator.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import drtk_tpu as dt
+from drtk_tpu.utils.geometry import vert_normals
+
+try:
+    from common import save_ppm  # run from examples/
+except ImportError:  # run from the repo root
+    from examples.common import save_ppm
+
+# ---------------------------------------------------------------------------
+# Procedural mesh: subdivided octahedron -> sphere (clean triangles, no
+# degenerate pole fans like a UV sphere).
+# ---------------------------------------------------------------------------
+
+
+def octasphere(subdiv: int = 4):
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float64,
+    )
+    f = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        edge_mid = {}
+        verts = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts[a] + verts[b]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts)
+                verts.append(m)
+            return edge_mid[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.array(verts)
+        f = np.array(nf, np.int64)
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def bumpy_deform(v: np.ndarray, seed: int = 3) -> np.ndarray:
+    """Smooth radial deformation: a few random spherical-harmonic-ish lobes."""
+    rng = np.random.RandomState(seed)
+    r = np.ones(v.shape[0], np.float32)
+    for _ in range(6):
+        d = rng.randn(3).astype(np.float32)
+        d /= np.linalg.norm(d)
+        amp = rng.uniform(0.08, 0.22)
+        sharp = rng.uniform(2.0, 6.0)
+        r += amp * np.maximum(v @ d, 0.0) ** sharp
+    return v * r[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Cotangent Laplacian (precomputed on the rest mesh, applied in JAX).
+# Standard cotan-weight construction; compare the reference notebook's
+# `laplacian` (DRTK_Tutorial_hand_fitting.ipynb, "Laplacian" cell).
+# ---------------------------------------------------------------------------
+
+
+def cotan_laplacian(v: np.ndarray, f: np.ndarray):
+    """Rows (src, dst, w): L @ x = sum_j w_ij (x_j - x_i), normalized rows."""
+    vs = v[f]  # [F, 3, 3]
+    src, dst, wgt = [], [], []
+    for k in range(3):
+        i, j, o = f[:, k], f[:, (k + 1) % 3], f[:, (k + 2) % 3]
+        e1 = v[i] - v[o]
+        e2 = v[j] - v[o]
+        cos = (e1 * e2).sum(-1)
+        sin = np.linalg.norm(np.cross(e1, e2), axis=-1)
+        cot = cos / np.maximum(sin, 1e-9)
+        src += [i, j]
+        dst += [j, i]
+        wgt += [cot * 0.5, cot * 0.5]
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    wgt = np.concatenate(wgt).astype(np.float32)
+    deg = np.zeros(len(v), np.float32)
+    np.add.at(deg, src, wgt)
+    return (
+        jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)),
+        jnp.asarray(wgt),
+        jnp.asarray(np.maximum(deg, 1e-9)),
+    )
+
+
+def laplacian_delta(x, lap):
+    src, dst, wgt, deg = lap
+    num = jnp.zeros_like(x).at[src].add(wgt[:, None] * x[dst])
+    return num / deg[:, None] - x
+
+
+# ---------------------------------------------------------------------------
+# Quaternions (scaled-by-10 parameterization like the reference notebook, so
+# SGD steps on the quaternion are gentle).
+# ---------------------------------------------------------------------------
+
+
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    r, i, j, k = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    s = 2.0 / (q * q).sum(-1)
+    return jnp.stack(
+        [
+            1 - s * (j * j + k * k), s * (i * j - k * r), s * (i * k + j * r),
+            s * (i * j + k * r), 1 - s * (i * i + k * k), s * (j * k - i * r),
+            s * (i * k - j * r), s * (j * k + i * r), 1 - s * (i * i + j * j),
+        ],
+        axis=-1,
+    ).reshape(q.shape[:-1] + (3, 3))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable forward: pose -> camera -> raster -> shade -> composite.
+# ---------------------------------------------------------------------------
+
+
+def make_forward(vi, h, w, campos, camrot, focal, princpt):
+    """All shading in WORLD space so one light/material explains every view
+    (a single textureless view is bas-relief-ambiguous: shape, albedo, and
+    light trade off; three views pin the shape)."""
+    n_views = campos.shape[0]
+
+    def forward(params):
+        rot = quaternion_to_matrix(params["quat"] / 10.0)
+        geom = jnp.tile(
+            ((params["v10"] / 10.0) @ rot.T + params["t"] * 0.1)[None],
+            (n_views, 1, 1),
+        )
+        v_pix = dt.transform(geom, campos, camrot, focal, princpt)
+        index_img = dt.rasterize(v_pix, vi, h, w)
+        mask = (index_img != -1)[:, None]
+        _, bary_img = dt.render(v_pix, vi, index_img)
+
+        normals = vert_normals(geom, vi)
+        vn_img = _normalize(dt.interpolate(normals, vi, index_img, jax.lax.stop_gradient(bary_img)))
+        pos_img = dt.interpolate(geom, vi, index_img, bary_img)
+
+        light_d = _normalize(params["light_dir"][None, :, None, None], axis=1)
+        diffuse = jnp.clip((-vn_img * light_d).sum(1, keepdims=True), 0.0)
+        diffuse = diffuse + params["light_ambient"][None, :, None, None]
+        view = _normalize(pos_img - campos[:, :, None, None], axis=1)
+        half = _normalize(light_d - view, axis=1)
+        spec_cos = jnp.clip((-vn_img * half).sum(1, keepdims=True), 1e-4)
+        gloss = jnp.exp(params["gloss"] * 4.0) + 1.0
+        spec = spec_cos ** gloss * params["color_spec"][None, :, None, None]
+        albedo = params["color"][None, :, None, None]
+        shaded = (albedo * diffuse + spec) * mask
+
+        # Composite the background BEFORE edge_grad_estimator: the
+        # silhouette gradient is driven by the contrast across the edge,
+        # which is (shaded - background), not (shaded - 0).
+        bg = jax.image.resize(
+            params["background"][None], (1, 3, h, w), "bilinear"
+        )
+        img = shaded + bg * (1.0 - mask)
+        img = dt.edge_grad_estimator(
+            v_pix=v_pix, vi=vi, bary_img=bary_img, img=img,
+            index_img=index_img,
+        )
+        return img, mask
+
+    return forward
+
+
+def _normalize(x, axis=1, eps=1e-9):
+    return x / jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+def main(h: int = 256, w: int = 256, steps: int = 1200, subdiv: int = 3,
+         pose_steps: int = 300):
+    sphere_v, faces = octasphere(subdiv)
+    vi = jnp.asarray(faces)
+    v_gt = jnp.asarray(bumpy_deform(sphere_v))
+    lap = cotan_laplacian(sphere_v, faces)
+
+    # Three cameras on a 3.2-radius ring around the y axis.
+    azims = [0.0, 2.1, -2.1]
+    ry = lambda t: np.array(
+        [[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]],
+        np.float32,
+    )
+    campos = jnp.asarray(
+        np.stack([ry(t) @ np.array([0.0, 0.0, -3.2], np.float32) for t in azims])
+    )
+    camrot = jnp.asarray(np.stack([ry(t).T for t in azims]))
+    nv = len(azims)
+    focal = jnp.tile(
+        jnp.asarray([[[0.9 * w, 0.0], [0.0, 0.9 * h]]], jnp.float32), (nv, 1, 1)
+    )
+    princpt = jnp.tile(jnp.asarray([[w / 2, h / 2]], jnp.float32), (nv, 1))
+    forward = make_forward(vi, h, w, campos, camrot, focal, princpt)
+
+    gt_axis = np.array([0.3, 1.0, 0.1])
+    gt_axis /= np.linalg.norm(gt_axis)
+    ang = 0.55
+    q_gt = jnp.asarray(
+        np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * gt_axis]), jnp.float32
+    )
+    params_gt = {
+        "v10": v_gt * 10.0,
+        "t": jnp.asarray([0.2, -0.3, 0.0], jnp.float32),
+        "quat": q_gt * 10.0,
+        "color": jnp.asarray([0.62, 0.41, 0.30], jnp.float32),
+        "color_spec": jnp.asarray([0.25, 0.25, 0.25], jnp.float32),
+        "gloss": jnp.asarray([0.5], jnp.float32),
+        "light_dir": jnp.asarray([-0.5, -0.3, 0.8], jnp.float32),
+        "light_ambient": jnp.asarray([0.12, 0.10, 0.09], jnp.float32),
+        # Flat learnable background: a high-res learnable bg would paint
+        # object-colored patches over silhouette mismatches, zeroing the
+        # edge contrast that drives shape growth.
+        "background": jnp.asarray([0.48, 0.42, 0.33], jnp.float32)[:, None, None],
+    }
+    img_gt, _ = jax.jit(forward)(params_gt)
+    save_ppm("examples/shaded_fit_target.ppm", np.asarray(img_gt[0]))
+
+    # Initial guess: unit sphere, perturbed pose, gray material. A single
+    # textureless view cannot pin vertex CORRESPONDENCE from scratch (any
+    # rotation can be absorbed by counter-deforming the vertices), so — as
+    # in frame-to-frame tracking — the pose starts near the truth (~0.35 rad
+    # off) and the fit must recover the remaining pose + all of the shape,
+    # material, and lighting.
+    p_axis = np.array([0.7, -0.2, 0.68])
+    p_axis /= np.linalg.norm(p_axis)
+    p_ang = 0.35
+    q_p = np.concatenate([[np.cos(p_ang / 2)], np.sin(p_ang / 2) * p_axis])
+    g = np.asarray(q_gt)
+    q0 = np.array(
+        [
+            q_p[0] * g[0] - q_p[1] * g[1] - q_p[2] * g[2] - q_p[3] * g[3],
+            q_p[0] * g[1] + q_p[1] * g[0] + q_p[2] * g[3] - q_p[3] * g[2],
+            q_p[0] * g[2] - q_p[1] * g[3] + q_p[2] * g[0] + q_p[3] * g[1],
+            q_p[0] * g[3] + q_p[1] * g[2] - q_p[2] * g[1] + q_p[3] * g[0],
+        ],
+        np.float32,
+    )
+    params = {
+        "v10": jnp.asarray(sphere_v) * 10.0,
+        "t": jnp.zeros(3, jnp.float32),
+        "quat": jnp.asarray(q0 * 10.0),
+        "color": jnp.full((3,), 0.4, jnp.float32),
+        "color_spec": jnp.full((3,), 0.1, jnp.float32),
+        "gloss": jnp.asarray([0.2], jnp.float32),
+        "light_dir": jnp.asarray([-0.2, -0.2, 0.9], jnp.float32),
+        "light_ambient": jnp.full((3,), 0.1, jnp.float32),
+        "background": jnp.full((3, 1, 1), 0.5, jnp.float32),
+    }
+
+    # Staged fit, like the reference notebook: pose/material/light first
+    # (geometry frozen), then everything jointly with a decayed rate —
+    # joint-from-scratch lets per-vertex offsets absorb the pose error and
+    # stalls in a local minimum.
+    sched = optax.cosine_decay_schedule(2e-2, steps, alpha=0.1)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    # Penalize the CHANGE in Laplacian coordinates from the rest mesh,
+    # not |L v| itself: the raw Laplacian of a closed surface is its mean
+    # curvature, so penalizing it is a shrinking flow that deflates the
+    # mesh (the loss would jump the moment geometry unfreezes).
+    delta0 = laplacian_delta(jnp.asarray(sphere_v), lap)
+
+    def loss_fn(p):
+        img, _ = forward(p)
+        photo = jnp.mean((img - img_gt) ** 2)
+        smooth = jnp.mean(
+            (laplacian_delta(p["v10"] / 10.0, lap) - delta0) ** 2
+        )
+        return photo + 0.5 * smooth, photo
+
+    @jax.jit
+    def step(p, s, freeze_v):
+        (loss, photo), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        g["v10"] = jnp.where(freeze_v, 0.0, 1.0) * g["v10"]
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, loss, photo
+
+    t0 = time.time()
+    for it in range(steps):
+        params, opt_state, loss, photo = step(
+            params, opt_state, jnp.asarray(it < pose_steps)
+        )
+        if it % 100 == 0 or it == steps - 1:
+            stage = "pose" if it < pose_steps else "joint"
+            print(f"step {it:4d} [{stage}]  loss {float(loss):.3e}  "
+                  f"photo {float(photo):.3e}")
+    print(f"fit: {steps} steps in {time.time() - t0:.1f}s")
+
+    img, _ = jax.jit(forward)(params)
+    save_ppm("examples/shaded_fit_final.ppm", np.asarray(img[0]))
+
+    # Per-vertex error is gauge-free for a textureless surface (the
+    # quaternion can drift while per-vertex offsets re-form the shape at
+    # slid correspondences), so measure the observable: the posed SHAPE,
+    # as a symmetric Chamfer distance between posed vertex clouds.
+    def posed(p):
+        rot = quaternion_to_matrix(p["quat"] / 10.0)
+        return np.asarray((p["v10"] / 10.0) @ rot.T + p["t"] * 0.1)
+
+    geom_f, geom_g = posed(params), posed(params_gt)
+    d2 = ((geom_f[:, None] - geom_g[None]) ** 2).sum(-1)
+    chamfer = 0.5 * (np.sqrt(d2.min(1)).mean() + np.sqrt(d2.min(0)).mean())
+    d2i = ((np.asarray(sphere_v)[:, None] - geom_g[None]) ** 2).sum(-1)
+    chamfer0 = 0.5 * (np.sqrt(d2i.min(1)).mean() + np.sqrt(d2i.min(0)).mean())
+    print(
+        f"posed-shape Chamfer: {chamfer:.4f} (init sphere: {chamfer0:.4f}, "
+        f"object radius ~1.0)"
+    )
+    print(f"light_dir fit {np.round(np.asarray(_normalize(params['light_dir'], 0)), 3)}"
+          f" vs gt {np.round(np.asarray(_normalize(params_gt['light_dir'], 0)), 3)}")
+    return chamfer
+
+
+if __name__ == "__main__":
+    main()
