@@ -9,12 +9,15 @@ interpolation kernel, to the destination described by ``grid``
 TPU-first design: ``grid_sample(tex, grid)`` is a *linear* map in ``tex``
 for any fixed grid (gathers x fixed weights), and grid_scatter is exactly
 its adjoint. The CUDA implementation realizes the adjoint with per-thread
-``safe_add_2d`` atomics; on TPU we take the transpose literally —
-``jax.linear_transpose`` of our :func:`drtk_tpu.ops.grid_sample.grid_sample`
-— which XLA lowers to a deterministic sorted scatter-add. This guarantees
-bit-consistent adjointness with our sampler for every (mode, padding_mode,
-align_corners) combination by construction, instead of maintaining a
-hand-written twin of the coordinate math.
+``safe_add_2d`` atomics; on TPU the fast path computes the sampler's tap
+set explicitly (same coordinate helpers as
+:func:`drtk_tpu.ops.grid_sample.grid_sample`, so the splat targets are the
+sampler's gather sources by construction) and accumulates it with
+:func:`drtk_tpu.ops.window_accum.window_accumulate` — dense per-block MXU
+windows instead of XLA's sort-based scatter-add, exploiting the spatial
+coherence of real grids (warps, uv unwraps). float64 (oracle mode) and
+shard_map-varying operands keep the literal ``jax.linear_transpose`` of
+the sampler, which lowers to the deterministic sorted scatter.
 
 The backward mirrors the reference (kernel.cu:183-423):
   * grad wrt input  = ``grid_sample(grad_output, grid)`` (a pure gather);
@@ -30,7 +33,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.grid_sample import grid_sample
+from drtk_tpu.ops.grid_sample import (
+    _compute_source_index,
+    _cubic_weights,
+    _reflect,
+    _unnormalize,
+    grid_sample,
+)
+from drtk_tpu.ops.window_accum import blocked_taps, window_accumulate
 
 __all__ = ["grid_scatter", "grid_scatter_ref"]
 
@@ -53,12 +63,136 @@ def _scatter_adjoint(input, grid, output_height, output_width, mode,
     return out
 
 
+def _scatter_taps(grid, out_h, out_w, mode, padding_mode, align_corners):
+    """Destination taps of one input pixel: (iy, ix, weight) lists, each
+    [N, T, H, W] (T = 4 bilinear / 16 bicubic), with out-of-bounds taps
+    marked iy = -1. Exactly the adjoint tap set of
+    :func:`drtk_tpu.ops.grid_sample.grid_sample` (same coordinate helpers:
+    unnormalize + padding fold, per-tap bound() for bicubic)."""
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    iys, ixs, wts = [], [], []
+    if mode == "bilinear":
+        x = _compute_source_index(gx, out_w, padding_mode, align_corners)
+        y = _compute_source_index(gy, out_h, padding_mode, align_corners)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(jnp.float32)
+        ty = (y - y0).astype(jnp.float32)
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        for dy, wy in ((0, 1.0 - ty), (1, ty)):
+            for dx, wx in ((0, 1.0 - tx), (1, tx)):
+                iys.append(iy0 + dy)
+                ixs.append(ix0 + dx)
+                wts.append(wx * wy)
+    else:  # bicubic: per-tap bound folding, like the sampler
+        x = _unnormalize(gx, out_w, align_corners)
+        y = _unnormalize(gy, out_h, align_corners)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = _cubic_weights((x - x0).astype(jnp.float32))
+        wy = _cubic_weights((y - y0).astype(jnp.float32))
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+
+        def bound(v, size):
+            vf = v.astype(x.dtype)
+            if padding_mode == "border":
+                vf = jnp.clip(vf, 0, size - 1)
+            elif padding_mode == "reflection":
+                if align_corners:
+                    vf = _reflect(vf, 0.0, float(size - 1))
+                else:
+                    vf = _reflect(vf, -0.5, size - 0.5)
+                vf = jnp.clip(vf, 0, size - 1)
+            return vf.astype(jnp.int32)
+
+        for j in range(4):
+            raw_iy = iy0 + (j - 1)
+            iy = raw_iy if padding_mode == "zeros" else bound(raw_iy, out_h)
+            for i in range(4):
+                raw_ix = ix0 + (i - 1)
+                ix = (
+                    raw_ix if padding_mode == "zeros" else bound(raw_ix, out_w)
+                )
+                iys.append(iy)
+                ixs.append(ix)
+                wts.append(wx[i] * wy[j])
+
+    iy_t = jnp.stack(iys, axis=1)  # [N, T, H, W]
+    ix_t = jnp.stack(ixs, axis=1)
+    w_t = jnp.stack(wts, axis=1)
+    inb = (iy_t >= 0) & (iy_t < out_h) & (ix_t >= 0) & (ix_t < out_w)
+    iy_t = jnp.where(inb, iy_t, -1)
+    ix_t = jnp.where(inb, ix_t, 0)
+    return iy_t, ix_t, w_t
+
+
+def _windowed_scatter(input, grid, out_h, out_w, mode, padding_mode,
+                      align_corners):
+    """TPU fast path: explicit splat taps accumulated by
+    :func:`drtk_tpu.ops.window_accum.window_accumulate` — spatially
+    coherent grids (the normal case: warps, uv unwraps) hit dense window
+    accumulation instead of XLA's sort-based scatter-add. Incoherent
+    batch elements fall back to the plain scatter inside
+    ``window_accumulate`` (identical result)."""
+    n, c, h, w = input.shape
+    iy_t, ix_t, w_t = _scatter_taps(
+        grid, out_h, out_w, mode, padding_mode, align_corners
+    )
+    # rows[n, c, t, h, w] = input * tap weight (weights exclude channels)
+    rows = input[:, :, None].astype(jnp.float32) * w_t[:, None]
+    t = iy_t.shape[1]
+    rows_b = blocked_taps(rows)  # [N, C, P]
+    iy_b = blocked_taps(iy_t)  # [N, P] (pad taps get iy=0 -> mark inert)
+    ix_b = blocked_taps(ix_t)
+    pad_live = blocked_taps(jnp.ones(iy_t.shape, jnp.int32)) == 0
+    iy_b = jnp.where(pad_live, -1, iy_b)
+
+    hp = max(48, -(-out_h // 8) * 8)
+    wp = max(512, -(-out_w // 128) * 128)
+    interpret = jax.devices()[0].platform != "tpu"
+    acc = window_accumulate(
+        rows_b, iy_b, ix_b, hp, wp, block=t * 8 * 128, win_h=48, win_w=512,
+        interpret=interpret,
+    )
+    return acc[:, :, :out_h, :out_w].astype(input.dtype)
+
+
+def _varying(x):
+    try:
+        return bool(jax.typeof(x).vma)
+    except AttributeError:  # pragma: no cover - older jax
+        return False
+
+
+def _scatter_dispatch(input, grid, output_height, output_width, mode,
+                      padding_mode, align_corners):
+    # f64 (oracle mode) and shard_map-varying operands keep the
+    # linear-transpose scatter (dtype-preserving / no full-frame blocking);
+    # everything else takes the windowed accumulation.
+    if (
+        input.dtype == jnp.float64
+        or _varying(input)
+        or _varying(grid)
+    ):
+        return _scatter_adjoint(
+            input, grid, output_height, output_width, mode, padding_mode,
+            align_corners,
+        )
+    return _windowed_scatter(
+        input, grid, output_height, output_width, mode, padding_mode,
+        align_corners,
+    )
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
 )
 def _grid_scatter_core(input, grid, output_height, output_width, mode,
                        padding_mode, align_corners):
-    return _scatter_adjoint(
+    return _scatter_dispatch(
         input, grid, output_height, output_width, mode, padding_mode,
         align_corners,
     )
@@ -66,7 +200,7 @@ def _grid_scatter_core(input, grid, output_height, output_width, mode,
 
 def _grid_scatter_fwd(input, grid, output_height, output_width, mode,
                       padding_mode, align_corners):
-    out = _scatter_adjoint(
+    out = _scatter_dispatch(
         input, grid, output_height, output_width, mode, padding_mode,
         align_corners,
     )

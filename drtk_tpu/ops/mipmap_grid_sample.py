@@ -54,6 +54,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from drtk_tpu.ops.window_accum import blocked_taps as _blocked_taps
+
 __all__ = ["mipmap_grid_sample", "mipmap_grid_sample_ref"]
 
 _MAX_MIPMAP_COUNT = 11  # kernel.cu:16
@@ -172,33 +174,6 @@ def _build_quad_atlas(atlas):
     return quad.reshape(n, (ha + 1) * (wa + 1), 4 * c), wa + 1
 
 
-_BLK_H = 8
-_BLK_W = 128
-
-
-def _blocked_taps(x):
-    """[..., T, H, W] -> [..., P] with consecutive runs of T*8*128 taps
-    coming from 8x128-pixel rectangles — the spatial-coherence ordering
-    drtk_tpu.ops.window_accum relies on. The rectangle matches the (8, 128)
-    HBM tile, so the reorder transpose's minor dims stay exactly (8, 128)
-    and nothing gets tile-padded (a square blocking materialized a 10x
-    padded intermediate — 16 GB at 4K). Leading axes pass through (so
-    [N, K, T, H, W] rows block without ever being taps-minor)."""
-    t, h, w = x.shape[-3:]
-    lead = x.shape[:-3]
-    ph, pw = -h % _BLK_H, -w % _BLK_W
-    if ph or pw:
-        pad = [(0, 0)] * (len(lead) + 1) + [(0, ph), (0, pw)]
-        x = jnp.pad(x, pad)
-    hb, wb = (h + ph) // _BLK_H, (w + pw) // _BLK_W
-    x = x.reshape(lead + (t, hb, _BLK_H, wb, _BLK_W))
-    # -> [..., hb, wb, t, 8, 128]: minor dims (8, 128), unpadded.
-    x = jnp.transpose(
-        x,
-        tuple(range(len(lead)))
-        + tuple(len(lead) + i for i in (1, 3, 0, 2, 4)),
-    )
-    return x.reshape(lead + (hb * wb * t * _BLK_H * _BLK_W,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -116,13 +116,15 @@ def _range_bins(index_img, f_cnt, height, width):
 
 
 def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
-    """partials[s, :] = sum over tile pixels p of rows[p] * (idx[p]==ids[s]).
+    """partials[:, s] = sum over tile pixels p of rows[p] * (idx[p]==ids[s]).
 
     rows_ref: (1, K, PIX) VMEM (tile pixels pre-flattened in XLA; the pixel
         axis stays the lane dimension everywhere to avoid lane padding);
     idx_ref: (1, 1, PIX) VMEM i32;
     ids_ref: (1, CAP, 1) VMEM i32 (slots past the count pre-masked to -2);
-    out_ref: (1, CAP, K) VMEM f32.
+    out_ref: (1, K, CAP) VMEM f32 — K on the sublane axis; a [CAP, K]
+        layout would lane-pad K=12 -> 128 in HBM (10x the partials buffer,
+        ~1 GB at 4K frames).
     """
     idx_row = idx_ref[0]  # (1, PIX)
     rows = rows_ref[0]  # (K, PIX)
@@ -136,23 +138,23 @@ def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
         ids_col = ids_ref[0, pl.ds(c * 128, 128), :]  # (128, 1)
         onehot = (ids_col == idx_row).astype(jnp.bfloat16)  # [128, PIX]
         dims = (((1,), (1,)), ((), ()))
-        out_ref[0, pl.ds(c * 128, 128), :] = jax.lax.dot_general(
-            onehot,
+        out_ref[0, :, pl.ds(c * 128, 128)] = jax.lax.dot_general(
             rows_hi,
+            onehot,
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            onehot,
             rows_lo,
+            onehot,
             dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
 
 
-def _binned_accumulate(rows_img, index_img, bin_ids_masked, n_ty, n_tx, cap,
-                       f_cnt, interpret):
+def _binned_partials(rows_img, index_img, bin_ids_masked, n_ty, n_tx, cap,
+                     interpret):
     """rows_img [H, W, K], index_img [H, W], bin_ids_masked [T, CAP]
-    -> [F, K] (single batch element)."""
+    -> per-tile bin partials [T, K, CAP] (single batch element)."""
     h, w = index_img.shape
     k_dim = rows_img.shape[-1]
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
@@ -177,7 +179,7 @@ def _binned_accumulate(rows_img, index_img, bin_ids_masked, n_ty, n_tx, cap,
         .reshape(n_tiles, 1, pix)
     )
 
-    partials = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_accumulate_kernel, cap=cap, k_dim=k_dim),
         grid=(n_tiles,),
         in_specs=[
@@ -192,18 +194,14 @@ def _binned_accumulate(rows_img, index_img, bin_ids_masked, n_ty, n_tx, cap,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, cap, k_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, k_dim, cap), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, cap, k_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k_dim, cap), jnp.float32),
         interpret=interpret,
     )(rows_t, idx_t, bin_ids_masked[:, :, None])
 
-    flat_ids = jnp.maximum(bin_ids_masked.reshape(-1), 0)
-    return (
-        jnp.zeros((f_cnt, k_dim), jnp.float32)
-        .at[flat_ids]
-        .add(partials.reshape(-1, k_dim), mode="promise_in_bounds")
-    )
+
+_TAB_W = 512  # face-table row width for the windowed partials reduction
 
 
 def scatter_rows_to_faces(
@@ -266,12 +264,31 @@ def scatter_rows_to_faces(
     # batch 8). If any element trips the fallback condition, the whole
     # batch takes the plain scatter; mixed batches are pathological scenes.
     def fast(args):
+        from drtk_tpu.ops.window_accum import window_accumulate
+
         rows_a, idx_a, bins_a = args
-        return jax.vmap(
-            lambda r, i, bn: _binned_accumulate(
-                r, i, bn, n_ty, n_tx, cap, f_cnt, interpret
+        partials = jax.vmap(
+            lambda r, i, bn: _binned_partials(
+                r, i, bn, n_ty, n_tx, cap, interpret
             )
-        )(rows_a, idx_a, bins_a)
+        )(rows_a, idx_a, bins_a)  # [N, T, K, CAP]
+        n_tiles = partials.shape[1]
+        # Partials -> face table, windowed: view [F, K] as K x (F/512 x 512)
+        # and accumulate each tile's CAP slots as one spatially-coherent
+        # block (its ids come from a handful of 32-wide ranges). This
+        # replaces a T*CAP-row sorted scatter — 2M rows at 4K frames.
+        pk = jnp.moveaxis(partials, 2, 1).reshape(n, k_dim, -1)  # [N,K,T*CAP]
+        live = bins_a >= 0
+        iy_p = jnp.where(live, bins_a // _TAB_W, -1).reshape(n, -1)
+        ix_p = jnp.where(live, bins_a % _TAB_W, 0).reshape(n, -1)
+        tab_rows = -(-f_cnt // _TAB_W)
+        hf = max(48, -(-tab_rows // 8) * 8)
+        acc = window_accumulate(
+            pk, iy_p, ix_p, hf, _TAB_W, block=cap, win_h=48, win_w=512,
+            interpret=interpret,
+        )  # [N, K, hf, 512]
+        out = acc.reshape(n, k_dim, hf * _TAB_W)[:, :, :f_cnt]
+        return jnp.moveaxis(out, 1, -1)
 
     def slow(args):
         rows_a, _, _ = args

@@ -16,10 +16,14 @@ texels (that is what mip selection guarantees). This module exploits that:
    window trip a per-batch fallback to the plain scatter — never wrong.
 3. A Pallas kernel turns each block into window partials with on-the-fly
    one-hot MXU matmuls (the segmented reduction as a matmul, like
-   drtk_tpu.ops.segment_rows), predicated to the rows / column-halves the
-   bbox actually touches, then read-modify-writes the window into the HBM
-   output at its dynamic offset. Grid steps are sequential on a TPU core,
-   so overlapping windows from consecutive blocks are race-free.
+   drtk_tpu.ops.segment_rows), packing 128//K window rows per dot so the
+   MXU's 128 result rows are full (K alone would use K/128 of them), all
+   predicated to the row-groups / column-halves the bbox actually touches
+   — compute AND the window DMA, whose row span is runtime-selected from
+   static size variants. The window is then read-modify-written into the
+   HBM output at its dynamic tile-aligned offset. Grid steps are
+   sequential on a TPU core, so overlapping windows from consecutive
+   blocks are race-free.
 
 No sort anywhere: the cost is one predicated MXU pass over (taps x window)
 plus dense window DMA — an order of magnitude under the scatter at mipmap
@@ -35,11 +39,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["window_accumulate"]
+__all__ = ["window_accumulate", "blocked_taps"]
+
+BLK_H = 8
+BLK_W = 128
 
 
-def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
-                   win_ref, sem, *, win_h, win_w, k_dim):
+def blocked_taps(x):
+    """[..., T, H, W] -> [..., P] with consecutive runs of T*8*128 taps
+    coming from 8x128-pixel rectangles — the spatial-coherence ordering
+    :func:`window_accumulate` relies on. The rectangle matches the (8, 128)
+    HBM tile, so the reorder transpose's minor dims stay exactly (8, 128)
+    and nothing gets tile-padded (a square blocking materialized a 10x
+    padded intermediate — 16 GB at 4K). Leading axes pass through (so
+    [N, K, T, H, W] rows block without ever being taps-minor)."""
+    t, h, w = x.shape[-3:]
+    lead = x.shape[:-3]
+    ph, pw = -h % BLK_H, -w % BLK_W
+    if ph or pw:
+        pad = [(0, 0)] * (len(lead) + 1) + [(0, ph), (0, pw)]
+        x = jnp.pad(x, pad)
+    hb, wb = (h + ph) // BLK_H, (w + pw) // BLK_W
+    x = x.reshape(lead + (t, hb, BLK_H, wb, BLK_W))
+    # -> [..., hb, wb, t, 8, 128]: minor dims (8, 128), unpadded.
+    x = jnp.transpose(
+        x,
+        tuple(range(len(lead)))
+        + tuple(len(lead) + i for i in (1, 3, 0, 2, 4)),
+    )
+    return x.reshape(lead + (hb * wb * t * BLK_H * BLK_W,))
+
+
+def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
+                   out_ref, win_ref, sem, *, win_h, win_w, k_dim):
     """One block: predicated partials into win_ref, then RMW into out_ref.
 
     org_ref:  (8, NB) SMEM int32 (scalar-prefetched, fields on sublane):
@@ -48,13 +80,22 @@ def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
               inclusive), cxm (last used 128-column half), used (1 if the
               block has any live tap).
     rows_ref: (1, K, B) VMEM f32 tap rows.
-    cell_ref: (1, 1, B) VMEM i32 window-cell index (-1 = inert tap).
+    crow_ref / ccol_ref: (1, 1, B) VMEM i32 window row / column per tap
+        (crow = -1 marks an inert tap).
     acc_in_ref / out_ref: (K, out_h, out_w) HBM accumulator — aliased
         input/output; all access goes through out_ref.
     win_ref:  (K, win_h, win_w) VMEM scratch.
 
     Both the MXU work and the window DMA are predicated per 128-column
     half, so wide windows only cost what the block's bbox actually touches.
+
+    MXU packing: a one-hot dot with M = k_dim output rows uses k_dim of the
+    MXU's 128 result rows — 12/128 for the mipmap quad rows. So R =
+    128//k_dim window rows are packed into ONE dot: lhs[(k, r), b] =
+    rows[k, b] * (crow[b] == r), built by a VPU broadcast-multiply, and the
+    (k*R, 128) result lands in win_ref as a (K, R, 128) row-group slab.
+    Same arithmetic (the 0/1 row mask is exact in bf16), ~R x the MXU
+    throughput of a row-at-a-time loop.
     """
     del acc_in_ref  # same buffer as out_ref
     i = pl.program_id(0)
@@ -62,83 +103,115 @@ def _window_kernel(org_ref, rows_ref, cell_ref, acc_in_ref, out_ref,
     # PROVE the dynamic DMA slice offsets are tile-aligned. Layout is
     # fields-on-sublane [8, NB] — a [NB, fields] array would lane-pad to
     # [NB, 128] in SMEM (8 MB at 4K frames, over the SMEM budget).
-    y0 = org_ref[0, i] * 8
-    x0 = org_ref[1, i] * 128
+    y0g = org_ref[0, i]
+    x0g = org_ref[1, i]
     ry0 = org_ref[2, i]
     ry1 = org_ref[3, i]
     cxm = org_ref[4, i]
     used = org_ref[5, i]
     halves = win_w // 128
+    rpg = max(1, 128 // k_dim)  # window rows packed per dot
+    # The window DMA is predicated by ROW SPAN as well as by column half:
+    # only the 8-row groups the block's bbox touches move. Minified
+    # textures (texels >> pixels, e.g. deep mip levels at 4K) have 1-group
+    # bboxes, so this cuts the RMW traffic ~win_h/8 x. The copy size must
+    # be static, hence one variant per group span, runtime-selected.
+    gy0 = ry0 // 8
+    gspan = ry1 // 8 - gy0 + 1
 
-    def half_copy(c):
-        return pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0 + c * 128, 128)],
-            win_ref.at[:, :, pl.ds(c * 128, 128)],
-            sem,
-        )
+    def span_copy(c, s, write):
+        src = out_ref.at[
+            :, pl.ds((y0g + gy0) * 8, s * 8), pl.ds((x0g + c) * 128, 128)
+        ]
+        dst = win_ref.at[:, pl.ds(gy0 * 8, s * 8), pl.ds(c * 128, 128)]
+        if write:
+            src, dst = dst, src
+        return pltpu.make_async_copy(src, dst, sem)
 
     @pl.when(used == 1)
     def _():
-        for c in range(halves):
-            @pl.when(c <= cxm)
-            def _(c=c):
-                half_copy(c).start()
+        for s in range(1, win_h // 8 + 1):
+            @pl.when(gspan == s)
+            def _(s=s):
+                for c in range(halves):
+                    @pl.when(c <= cxm)
+                    def _(s=s, c=c):
+                        span_copy(c, s, write=False).start()
         rows = rows_ref[0]  # (K, B)
-        cells = cell_ref[0]  # (1, B)
+        crow = crow_ref[0]  # (1, B)
+        ccol = ccol_ref[0]  # (1, B)
+        b = rows.shape[-1]
         # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate
         # product needs only a two-term bf16 split of the rows (hi + lo,
         # ~1e-7 relative) — 2 single-pass MXU dots per slab instead of the
         # 6 passes Precision.HIGHEST would issue for f32 x f32.
         rows_hi = rows.astype(jnp.bfloat16)
         rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        for c in range(halves):
-            @pl.when(c <= cxm)
-            def _(c=c):
-                half_copy(c).wait()
-
-        # Static row unroll: Mosaic cannot index VMEM sublanes dynamically.
-        # The @pl.when predication still skips rows/halves outside the
-        # block's bounding box at run time.
-        for r in range(win_h):
-            @pl.when((r >= ry0) & (r <= ry1))
-            def _(r=r):
+        for s in range(1, win_h // 8 + 1):
+            @pl.when(gspan == s)
+            def _(s=s):
                 for c in range(halves):
                     @pl.when(c <= cxm)
-                    def _(r=r, c=c):
-                        ids = r * win_w + c * 128 + jax.lax.broadcasted_iota(
+                    def _(s=s, c=c):
+                        span_copy(c, s, write=False).wait()
+
+        # Static row-group unroll: Mosaic cannot index VMEM sublanes
+        # dynamically. The @pl.when predication still skips groups/halves
+        # outside the block's bounding box at run time.
+        for g in range(0, win_h, rpg):
+            rgn = min(rpg, win_h - g)
+
+            @pl.when((g <= ry1) & (g + rgn - 1 >= ry0))
+            def _(g=g, rgn=rgn):
+                # row-group mask (rgn, B), exact in bf16
+                rmask = (
+                    g + jax.lax.broadcasted_iota(jnp.int32, (rgn, 1), 0)
+                    == crow
+                ).astype(jnp.bfloat16)
+                lhs_hi = (rows_hi[:, None, :] * rmask[None]).reshape(
+                    k_dim * rgn, b
+                )
+                lhs_lo = (rows_lo[:, None, :] * rmask[None]).reshape(
+                    k_dim * rgn, b
+                )
+                for c in range(halves):
+                    @pl.when(c <= cxm)
+                    def _(g=g, rgn=rgn, c=c, lhs_hi=lhs_hi, lhs_lo=lhs_lo):
+                        ids = c * 128 + jax.lax.broadcasted_iota(
                             jnp.int32, (128, 1), 0
                         )
-                        onehot = (ids == cells).astype(jnp.bfloat16)  # (128,B)
+                        onehot = (ids == ccol).astype(jnp.bfloat16)  # (128,B)
                         dims = (((1,), (1,)), ((), ()))
                         part = jax.lax.dot_general(
-                            rows_hi, onehot, dimension_numbers=dims,
+                            lhs_hi, onehot, dimension_numbers=dims,
                             preferred_element_type=jnp.float32,
                         ) + jax.lax.dot_general(
-                            rows_lo, onehot, dimension_numbers=dims,
+                            lhs_lo, onehot, dimension_numbers=dims,
                             preferred_element_type=jnp.float32,
                         )
-                        win_ref[:, r, c * 128 : (c + 1) * 128] += part
+                        win_ref[
+                            :, g : g + rgn, c * 128 : (c + 1) * 128
+                        ] += part.reshape(k_dim, rgn, 128)
 
-        def half_write(c):
-            return pltpu.make_async_copy(
-                win_ref.at[:, :, pl.ds(c * 128, 128)],
-                out_ref.at[:, pl.ds(y0, win_h), pl.ds(x0 + c * 128, 128)],
-                sem,
-            )
+        for s in range(1, win_h // 8 + 1):
+            @pl.when(gspan == s)
+            def _(s=s):
+                for c in range(halves):
+                    @pl.when(c <= cxm)
+                    def _(s=s, c=c):
+                        span_copy(c, s, write=True).start()
+        for s in range(1, win_h // 8 + 1):
+            @pl.when(gspan == s)
+            def _(s=s):
+                for c in range(halves):
+                    @pl.when(c <= cxm)
+                    def _(s=s, c=c):
+                        span_copy(c, s, write=True).wait()
 
-        for c in range(halves):
-            @pl.when(c <= cxm)
-            def _(c=c):
-                half_write(c).start()
-        for c in range(halves):
-            @pl.when(c <= cxm)
-            def _(c=c):
-                half_write(c).wait()
 
-
-def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
-                             win_h, win_w, k_dim, interpret):
-    """rows_b [NB, K, B], cells_b [NB, 1, B], origins_b [8, NB]
+def _windowed_accumulate_one(rows_b, crow_b, ccol_b, origins_b, out_h,
+                             out_w, win_h, win_w, k_dim, interpret):
+    """rows_b [NB, K, B], crow_b / ccol_b [NB, 1, B], origins_b [8, NB]
     -> [K, out_h, out_w] (single batch element)."""
     nb = rows_b.shape[0]
     b = rows_b.shape[2]
@@ -150,6 +223,9 @@ def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
             pl.BlockSpec(
                 (1, k_dim, b), lambda i, org: (i, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, b), lambda i, org: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 1, b), lambda i, org: (i, 0, 0), memory_space=pltpu.VMEM
@@ -168,9 +244,9 @@ def _windowed_accumulate_one(rows_b, cells_b, origins_b, out_h, out_w,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_dim, out_h, out_w), jnp.float32),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(origins_b, rows_b, cells_b, zeros)
+    )(origins_b, rows_b, crow_b, ccol_b, zeros)
 
 
 def window_accumulate(
@@ -261,27 +337,28 @@ def window_accumulate(
          jnp.zeros_like(y0), jnp.zeros_like(y0)], axis=-2
     ).astype(jnp.int32)  # [N, 8, NB]
 
-    cells = (iy_b - y0[..., None]) * win_w + (ix_b - x0[..., None])
-    cells = jnp.where(v_b, cells, -1).astype(jnp.int32)
+    crow = jnp.where(v_b, iy_b - y0[..., None], -1).astype(jnp.int32)
+    ccol = jnp.where(v_b, ix_b - x0[..., None], 0).astype(jnp.int32)
 
     # Channel-leading blocked layout shared by BOTH branches — no [P, K]
     # materialization anywhere (it tile-pads 10x in HBM).
     rows_b = jnp.moveaxis(
         rows.astype(jnp.float32).reshape(n, k_dim, nb, block), 1, 2
     )  # [N, NB, K, B]
-    cells_b = cells[:, :, None, :]  # [N, NB, 1, B]
+    crow_b = crow[:, :, None, :]  # [N, NB, 1, B]
+    ccol_b = ccol[:, :, None, :]
     flat = (jnp.maximum(iy, 0) * out_w + ix).astype(jnp.int32)
 
     # One runtime branch for the whole batch (per-element cond loops
     # serialize N kernel launches); a single overflowing element sends the
     # whole batch to the scatter path — pathological scenes only.
     def fast(args):
-        rows_a, cells_a, org_a = args
+        rows_a, crow_a, ccol_a, org_a = args
         return jax.vmap(
-            lambda r, c_, o: _windowed_accumulate_one(
-                r, c_, o, out_h, out_w, win_h, win_w, k_dim, interpret
+            lambda r, cr, cc, o: _windowed_accumulate_one(
+                r, cr, cc, o, out_h, out_w, win_h, win_w, k_dim, interpret
             )
-        )(rows_a, cells_a, org_a)
+        )(rows_a, crow_a, ccol_a, org_a)
 
     def slow(args):
         del args
@@ -301,5 +378,5 @@ def window_accumulate(
         return jax.vmap(one)(flat, rows, live)
 
     return jax.lax.cond(
-        jnp.all(ok), fast, slow, (rows_b, cells_b, origins)
+        jnp.all(ok), fast, slow, (rows_b, crow_b, ccol_b, origins)
     )

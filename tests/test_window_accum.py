@@ -82,6 +82,18 @@ def test_alignment_and_bounds_edges():
     )
 
 
+def test_single_channel_row_group_exceeds_window():
+    # k=1 -> 128 packed rows per dot > win_h: one group covers the window
+    rows, iy, ix, H, W, block = _coherent_case(seed=4, k=1)
+    out = window_accumulate(
+        jnp.asarray(rows), jnp.asarray(iy), jnp.asarray(ix), H, W,
+        block=block, win_h=48, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _ref(rows, iy, ix, H, W), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_padding_of_tap_count():
     rows, iy, ix, H, W, block = _coherent_case(seed=3, p=4096)
     rows = rows[:, :, :3000]
