@@ -35,6 +35,42 @@ import numpy as np
 BASELINE_MPIX_S = 512 * 512 * 30 / 1e6  # interactive-fit contract
 
 
+def _init_backend(retries=5, delay_s=20.0):
+    """Bring the JAX backend up before any bench work, retrying transient
+    TPU-tunnel init failures (the axon plugin occasionally reports
+    "Unable to initialize backend" / FAILED_PRECONDITION right after a
+    prior job releases the chip). A transient must not erase a round's
+    bench evidence — fail only after persistent errors, and say why."""
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            devs = jax.devices()
+            print(
+                json.dumps({"note": "backend up", "devices": len(devs),
+                            "platform": devs[0].platform}),
+                flush=True,
+            )
+            return
+        except Exception as e:  # noqa: BLE001 - deliberate broad retry
+            last = e
+            print(
+                json.dumps({"note": "backend init retry",
+                            "attempt": attempt + 1, "error": str(e)[:200]}),
+                flush=True,
+            )
+            # jax caches a failed init; drop the cache so the retry is real.
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:  # noqa: BLE001 - older jax fallback
+                pass
+            time.sleep(delay_s)
+    raise RuntimeError(
+        f"JAX backend failed to initialize after {retries} attempts: {last}"
+    )
+
+
 def make_scene(h, w, gn, seed=0):
     """Connected grid mesh with 2*(gn-1)^2 triangles covering the canvas,
     plus per-vertex uvs and a texture — the BASELINE 'textured mesh render'
@@ -374,6 +410,7 @@ def bench_scaling(n_iters=10, h=1024, gn=161):
 def main():
     import sys
 
+    _init_backend()
     if "--scaling" in sys.argv[1:]:
         bench_scaling()
         return

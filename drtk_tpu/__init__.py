@@ -26,6 +26,8 @@ from drtk_tpu.ops.interpolate import (  # noqa
     interpolate_ref,
     interpolation_matrix,
     interpolation_normal_matrix,
+    interpolation_normal_matrix_values,
+    interpolation_normal_structure,
 )
 from drtk_tpu.ops.grid_scatter import grid_scatter, grid_scatter_ref  # noqa
 from drtk_tpu.ops.mipmap_grid_sample import (  # noqa

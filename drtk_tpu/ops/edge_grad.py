@@ -432,7 +432,21 @@ def edge_grad_estimator(
         img: [N, C, H, W] rendered image; must correspond exactly to
             index_img/bary_img (no spatial post-processing).
         index_img: [N, H, W] int32 index image.
-        v_pix_img_hook: unsupported in JAX (no backward hooks); pass None.
+        v_pix_img_hook: unsupported — JAX has no mutable backward hooks
+            (the reference registers a tensor hook on ``v_pix_img`` to
+            visualize the image-space edge gradient,
+            drtk/edge_grad_estimator.py:96-99). The jax-idiomatic recipe
+            for the same diagnostic: recompute the edge-gradient image
+            explicitly and differentiate to it directly ::
+
+                # g_img [N, 3, H, W] is exactly what the reference's hook
+                # observes as v_pix_img.grad:
+                from drtk_tpu.ops.edge_grad import edge_grad_image
+                d_img = jax.grad(loss_through_img)(img)
+                g_img = edge_grad_image(v_pix, vi, img, index_img, d_img)
+
+            or, for a hook-like tap inside a live training step, insert
+            ``jax.debug.callback(save_fn, g_img)`` on that value.
         max_dp_dr: magnitude clamp for dp/dr (0.0 disables, for
             finite-difference comparisons). Default 1e4.
         spmd_axis_name: if set, the inputs are row blocks of a frame sharded
@@ -469,17 +483,28 @@ def edge_grad_estimator(
     )
 
 
-def edge_grad_estimator_ref(
+def edge_grad_image(
     v_pix: jnp.ndarray,
     vi: jnp.ndarray,
-    bary_img: jnp.ndarray,
     img: jnp.ndarray,
     index_img: jnp.ndarray,
-    v_pix_img_hook: Optional[Callable[[jnp.ndarray], None]] = None,
+    d_img: jnp.ndarray,
     max_dp_dr: float = 1e4,
 ) -> jnp.ndarray:
-    """Alias for parity with the reference API (drtk/edge_grad_estimator.py:
-    178-208); the main implementation is already pure-vectorized."""
-    return edge_grad_estimator(
-        v_pix, vi, bary_img, img, index_img, v_pix_img_hook, max_dp_dr
+    """The image-space edge gradient [N, 3, H, W] — exactly the value the
+    reference's ``v_pix_img_hook`` observes as ``v_pix_img.grad``
+    (drtk/edge_grad_estimator.py:96-99): the CRD-stencil discontinuity
+    gradient of the upstream image cotangent ``d_img``, before the
+    pixel→vertex reduction. Diagnostic/visualization aid; JAX has no
+    backward hooks, so this exposes the same quantity as a plain function
+    (see the ``v_pix_img_hook`` note on :func:`edge_grad_estimator`).
+    """
+    vi = broadcast_vi(vi, v_pix.shape[0])
+    return _edge_grad_backward(
+        v_pix, vi, img, index_img, d_img, float(max_dp_dr)
     )
+
+
+# Independent float64 oracle (a from-scratch second implementation of the
+# kernel semantics — see drtk_tpu/ops/edge_grad_ref.py).
+from drtk_tpu.ops.edge_grad_ref import edge_grad_estimator_ref  # noqa: E402

@@ -48,8 +48,11 @@ __all__ = [
     "interpolate_ref",
     "interpolation_matrix",
     "interpolation_normal_matrix",
+    "interpolation_normal_matrix_values",
+    "interpolation_normal_structure",
     "InterpolationMatrix",
     "NormalMatrix",
+    "NormalStructure",
 ]
 
 
@@ -277,15 +280,41 @@ def interpolate_ref(
     index_img: jnp.ndarray,
     bary_img: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Float64 oracle mirroring drtk/interpolate.py:195-263."""
+    """Float64 oracle mirroring drtk/interpolate.py:195-263.
+
+    Deliberately shares NO code with the op's forward: per-corner element
+    gathers (not the packed face-row gather), the sum formed corner by
+    corner, and the background sweep assembled with the torch ref's
+    tile-the-xy-pair trick — so a bug introduced into
+    ``_interpolate_fwd_math`` makes the oracle tests fail.
+    """
     orig_dtype = vert_attributes.dtype
-    out = _interpolate_fwd_math(
-        vert_attributes.astype(jnp.float64),
-        broadcast_vi(vi, vert_attributes.shape[0]),
-        index_img,
-        bary_img.astype(jnp.float64),
+    f64 = jnp.float64
+    va = vert_attributes.astype(f64)
+    bary = jnp.moveaxis(bary_img.astype(f64), 1, -1)  # [N, H, W, 3]
+    vi = broadcast_vi(vi, va.shape[0])
+    n, h, w = index_img.shape
+    c = va.shape[-1]
+
+    safe = jnp.maximum(index_img, 0)
+    vi_img = jax.vmap(lambda vib, ii: vib[ii])(vi, safe)  # [N, H, W, 3]
+    out = jnp.zeros((n, h, w, c), f64)
+    for k in range(3):
+        corner = jax.vmap(lambda ab, ii: ab[ii])(va, vi_img[..., k])
+        out = out + corner * bary[..., k : k + 1]
+
+    # -1..1 sweep at background (interpolate_kernel.cu:104-109), built as
+    # the torch ref does: tile the (x, y) channel pair out to C channels.
+    sx = (jnp.arange(w, dtype=f64) * 2.0 + 1.0) / w - 1.0
+    sy = (jnp.arange(h, dtype=f64) * 2.0 + 1.0) / h - 1.0
+    pair = jnp.stack(
+        [jnp.broadcast_to(sx[None, :], (h, w)),
+         jnp.broadcast_to(sy[:, None], (h, w))],
+        axis=-1,
     )
-    return out.astype(orig_dtype)
+    sweep = jnp.tile(pair, (1, 1, (c + 1) // 2))[..., :c]
+    out = jnp.where((index_img != -1)[..., None], out, sweep[None])
+    return jnp.moveaxis(out, -1, 1).astype(orig_dtype)
 
 
 # --------------------------------------------------------------------------
@@ -458,29 +487,57 @@ def _normal_structure_cached(vi: jnp.ndarray, num_vertices: int):
     return hit
 
 
-def interpolation_normal_matrix(
+class NormalStructure(NamedTuple):
+    """Topology-only sparsity structure of A.T @ A (the part the reference's
+    C++ module caches per face tensor, interpolate_module.cpp:36-113):
+
+    Attributes:
+        rows/cols: [nnz] int32 COO pair structure (deduplicated).
+        pair_slot: [F, 9] int32, mapping face-pair k = i*3+j to its nnz slot
+            (the per-face lookup table the value kernel consumes,
+            interpolate_module.cpp:538-582).
+        num_vertices: static int.
+    """
+
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    pair_slot: jnp.ndarray
+    num_vertices: int
+
+
+def interpolation_normal_structure(
+    vi: jnp.ndarray, num_vertices: int
+) -> NormalStructure:
+    """Build (or fetch from the LRU cache) the topology-only structure of
+    the normal matrix for face tensor ``vi`` ([F, 3] or [N, F, 3] with
+    shared topology). Host-side, like the reference's CSR analysis."""
+    vi2d = vi if vi.ndim == 2 else vi[0]
+    rows, cols, pair_slot = _normal_structure_cached(vi2d, int(num_vertices))
+    return NormalStructure(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(pair_slot),
+        int(num_vertices),
+    )
+
+
+def interpolation_normal_matrix_values(
+    structure: NormalStructure,
     vi: jnp.ndarray,
     index_img: jnp.ndarray,
     bary_img: jnp.ndarray,
-    num_vertices: int,
-) -> NormalMatrix:
-    """Assemble A.T @ A directly (drtk/interpolate.py:124-192).
+) -> jnp.ndarray:
+    """Value-only recompute of the normal matrix against a cached structure
+    — the explicit analogue of the reference's value kernel
+    (interpolate_module.cpp:538-582 + normal_matrix_kernel.cu), which reuses
+    the CSR analysis across frames and only re-accumulates the nine
+    ``bary_i * bary_j`` products per foreground pixel.
 
-    The topology structure is built on host and cached (like the reference's
-    CSR LRU); the numeric accumulation runs on device and is differentiable
-    w.r.t. ``bary_img`` via the product rule. ``vi`` must be [F, 3] (shared
-    topology) or [N, F, 3] with identical topology per batch element — the
-    reference has the same restriction via its per-tensor cache.
+    Fully jit-safe (the structure is ordinary arrays, so iterative solvers
+    can close over one structure and call this every rasterization) and
+    differentiable w.r.t. ``bary_img`` via the product rule.
+
+    Returns [N, nnz] values aligned with ``structure.rows/cols``.
     """
     vi_b = broadcast_vi(vi, index_img.shape[0])
-    vi2d = vi if vi.ndim == 2 else vi[0]
-    rows, cols, pair_slot = _normal_structure_cached(vi2d, int(num_vertices))
-    nnz = int(rows.shape[0])
-
-    rows_j = jnp.asarray(rows)
-    cols_j = jnp.asarray(cols)
-    pair_slot_j = jnp.asarray(pair_slot)  # [F, 9]
-
     n, h, w = index_img.shape
     _, mask = _pix_vi(vi_b, index_img)
     bary = jnp.moveaxis(bary_img, 1, -1)  # [N, H, W, 3]
@@ -491,12 +548,37 @@ def interpolation_normal_matrix(
     prod = prod * maskf.reshape(n, h * w, 1)
 
     safe_index = jnp.maximum(index_img, 0).reshape(n, h * w)
-    slots = pair_slot_j[safe_index]  # [N, H*W, 9]
+    slots = structure.pair_slot[safe_index]  # [N, H*W, 9]
+    nnz = structure.rows.shape[0]
 
     def scatter_one(slots_b, prod_b):
         return jnp.zeros((nnz,), bary.dtype).at[slots_b.reshape(-1)].add(
             prod_b.reshape(-1)
         )
 
-    vals = jax.vmap(scatter_one)(slots, prod)
-    return NormalMatrix(rows_j, cols_j, vals, int(num_vertices))
+    return jax.vmap(scatter_one)(slots, prod)
+
+
+def interpolation_normal_matrix(
+    vi: jnp.ndarray,
+    index_img: jnp.ndarray,
+    bary_img: jnp.ndarray,
+    num_vertices: int,
+) -> NormalMatrix:
+    """Assemble A.T @ A directly (drtk/interpolate.py:124-192).
+
+    The topology structure is built on host and cached (like the reference's
+    CSR LRU) via :func:`interpolation_normal_structure`; the numeric
+    accumulation runs on device through
+    :func:`interpolation_normal_matrix_values` and is differentiable w.r.t.
+    ``bary_img``. ``vi`` must be [F, 3] (shared topology) or [N, F, 3] with
+    identical topology per batch element — the reference has the same
+    restriction via its per-tensor cache.
+    """
+    structure = interpolation_normal_structure(vi, int(num_vertices))
+    vals = interpolation_normal_matrix_values(
+        structure, vi, index_img, bary_img
+    )
+    return NormalMatrix(
+        structure.rows, structure.cols, vals, int(num_vertices)
+    )

@@ -54,6 +54,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from drtk_tpu.ops.window_accum import BLK_H as _BLK_H
+from drtk_tpu.ops.window_accum import BLK_W as _BLK_W
 from drtk_tpu.ops.window_accum import blocked_taps as _blocked_taps
 
 __all__ = ["mipmap_grid_sample", "mipmap_grid_sample_ref"]

@@ -470,24 +470,27 @@ def _rasterize_lines_impl(
 def _rasterize_dispatch(v, vi, height, width, wireframe, impl, y_offset=0,
                         full_height=None):
     if wireframe:
-        if impl == "xla" or full_height is not None:
+        if impl == "xla":
             return _rasterize_lines_impl(
                 v, vi, height, width, y_offset=y_offset,
                 full_height=full_height,
             )
         from drtk_tpu.ops.rasterize_pallas import rasterize_lines_pallas
 
-        return rasterize_lines_pallas(v, vi, height, width)
-    if impl == "xla" or full_height is not None:
-        # Tiled viewports always go through the XLA path (the Pallas kernel
-        # derives its own tile grid from the full frame).
+        return rasterize_lines_pallas(
+            v, vi, height, width, y_offset=y_offset, full_height=full_height
+        )
+    if impl == "xla":
         return _rasterize_xla(
             v, vi, height, width, y_offset=y_offset, full_height=full_height
         )
-    # Pallas tile kernel (TPU fast path).
+    # Pallas tile kernel (TPU fast path); row-tile viewports bin against
+    # viewport-local tiles and stay bit-exact with the full frame.
     from drtk_tpu.ops.rasterize_pallas import rasterize_pallas
 
-    return rasterize_pallas(v, vi, height, width)
+    return rasterize_pallas(
+        v, vi, height, width, y_offset=y_offset, full_height=full_height
+    )
 
 
 def _choose_impl(impl: str) -> str:

@@ -82,6 +82,19 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _out_struct(shape, dtype, *refs):
+    """ShapeDtypeStruct whose varying-manual-axes set is the union of the
+    refs' — required by pallas_call under shard_map (check_vma); plain
+    ShapeDtypeStruct elsewhere / on older jax."""
+    try:
+        vma = set()
+        for r in refs:
+            vma |= set(jax.typeof(r).vma)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # --------------------------------------------------------------------------
 # Phase A: setup + sorted segments (XLA, per batch element — vmapped)
 # --------------------------------------------------------------------------
@@ -196,6 +209,7 @@ def _tile_kernel(
     starts_ref,  # [N, T] int32 (scalar prefetch)
     counts_ref,  # [N, T] int32 (scalar prefetch)
     gcounts_ref,  # [N, 1] int32 (scalar prefetch)
+    yoff_ref,  # [1] int32 (scalar prefetch) — viewport row offset
     seg_hbm,  # [N, (P+CHUNK)*16//128, 128] ANY/HBM f32 (full array)
     sid_hbm,  # [N, (P+CHUNK)//128, 128] ANY/HBM int32 (full array)
     gbins_hbm,  # [N, F*16//128, 128] ANY/HBM f32 (full array)
@@ -223,9 +237,12 @@ def _tile_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
         + tx * TILE_W
     ).astype(jnp.float32)
+    # Global pixel rows: the viewport offset keeps the per-pixel float math
+    # identical to the full-frame evaluation (bit-exact row tiles).
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
         + ty * tile_h
+        + yoff_ref[0]
     ).astype(jnp.float32)
 
     def make_body(read_field, read_id, lo, hi):
@@ -366,7 +383,8 @@ def _tile_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "interpret", "tile_h")
+    jax.jit,
+    static_argnames=("height", "width", "interpret", "tile_h", "full_height"),
 )
 def rasterize_pallas(
     v: jnp.ndarray,
@@ -375,16 +393,34 @@ def rasterize_pallas(
     width: int,
     interpret: bool = False,
     tile_h: int = TILE_H,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-binned rasterization. Same contract as the XLA path:
-    returns (depth_img [N, H, W] f32, index_img [N, H, W] i32)."""
+    returns (depth_img [N, H, W] f32, index_img [N, H, W] i32).
+
+    ``y_offset``/``full_height`` select a row-tile viewport (rows
+    [y_offset, y_offset + height) of the full frame) bit-exactly, as in
+    rasterize._rasterize_xla: binning happens against viewport-local tile
+    rows while every per-pixel edge evaluation uses global coordinates, so
+    the per-shard result equals the corresponding rows of the full-frame
+    kernel. ``y_offset`` may be a traced per-device value (shard_map)."""
     n, f_cnt = vi.shape[0], vi.shape[1]
     n_ty = -(-height // tile_h)
     n_tx = -(-width // TILE_W)
     n_tiles = n_ty * n_tx
+    y_off = jnp.asarray(y_offset, jnp.int32).reshape(())
 
     setup = triangle_setup(v.astype(jnp.float32), vi)
-    valid = _canvas_cull(setup, height, width)
+    valid = _canvas_cull(setup, full_height or height, width)
+    if full_height is not None:
+        # Viewport cull (conservative, hence bit-exact): a pixel row y can
+        # only be covered when bbox_min_y <= y <= bbox_max_y, so triangles
+        # strictly outside [y_offset, y_offset + height) never bin.
+        yof = y_off.astype(setup.bbox.dtype)
+        valid = valid & (setup.bbox[..., 3] >= yof) & (
+            setup.bbox[..., 1] <= yof + (height - 1)
+        )
     setup_rows = _pack_setup(setup, valid)  # [N, F, 16]
 
     # Pad F to the global-chunk granularity for aligned DMA slices. (F*16
@@ -399,11 +435,17 @@ def rasterize_pallas(
     f_tot = f_cnt + f_pad
     p_tot = f_tot * MAX_SPAN
 
+    # Binning runs in viewport-local rows (bbox shifted by y_offset); the
+    # kernel shifts its pixel grid back to global coordinates.
+    bbox_local = bbox_p - jnp.stack(
+        [jnp.int32(0), y_off, jnp.int32(0), y_off]
+    ).astype(bbox_p.dtype)
+
     seg_rows, seg_ids, starts, counts, gmask, gcounts = jax.vmap(
         lambda rows, bbox, val: _segment_pairs(
             rows, bbox, val, n_tx, n_ty, tile_h
         )
-    )(setup_rows, bbox_p, valid)
+    )(setup_rows, bbox_local, valid)
 
     # Global-list construction (sort + row gather) is skipped at runtime
     # when no triangle went global — the common case for real meshes. The
@@ -419,8 +461,12 @@ def rasterize_pallas(
         return gids_b, rows_b[gids_b]
 
     def empty_globals(args):
-        _, rows_b = args
-        return jax.lax.iota(jnp.int32, f_tot), rows_b
+        gmask_b, rows_b = args
+        # vary_like: under shard_map both branches must agree on manual-axis
+        # varying-ness (the taken branch's gids depend on per-shard data).
+        from drtk_tpu.ops.math import vary_like
+
+        return vary_like(jax.lax.iota(jnp.int32, f_tot), gmask_b), rows_b
 
     per_b = [
         jax.lax.cond(
@@ -446,7 +492,7 @@ def rasterize_pallas(
     gids = gids.reshape(n, f_tot // 128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # starts, counts, gcounts
+        num_scalar_prefetch=4,  # starts, counts, gcounts, yoff
         grid=(n, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # seg rows stay in HBM
@@ -482,11 +528,17 @@ def rasterize_pallas(
         functools.partial(_tile_kernel, n_tx=n_tx, tile_h=tile_h),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_ty * tile_h, n_tx * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_ty * tile_h, n_tx * TILE_W), jnp.int32),
+            _out_struct(
+                (n, n_ty * tile_h, n_tx * TILE_W), jnp.float32,
+                starts, seg_rows, y_off,
+            ),
+            _out_struct(
+                (n, n_ty * tile_h, n_tx * TILE_W), jnp.int32,
+                starts, seg_rows, y_off,
+            ),
         ],
         interpret=interpret,
-    )(starts, counts, gcounts, seg_rows, seg_ids, gbins, gids)
+    )(starts, counts, gcounts, y_off[None], seg_rows, seg_ids, gbins, gids)
 
     di_img = di_img[:, :height, :width]
     id_img = id_img[:, :height, :width]
@@ -571,6 +623,7 @@ def _lines_tile_kernel(
     starts_ref,  # [N, T] int32 (scalar prefetch)
     counts_ref,  # [N, T] int32 (scalar prefetch)
     gcounts_ref,  # [N, 1] int32 (scalar prefetch)
+    yoff_ref,  # [1] int32 (scalar prefetch) — viewport row offset
     seg_hbm,  # [N, (P+LCHUNK)*32//128, 128] ANY/HBM f32
     gbins_hbm,  # [N, F*32//128, 128] ANY/HBM f32
     di_ref,  # (1, TILE_H, TILE_W) out
@@ -581,7 +634,7 @@ def _lines_tile_kernel(
     sem1,
     *,
     n_tx: int,
-    height: int,
+    height: int,  # FULL canvas height (the border test is global)
     width: int,
 ):
     n = pl.program_id(0)
@@ -590,7 +643,11 @@ def _lines_tile_kernel(
     tile = ty * n_tx + tx
 
     pxi = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + tx * TILE_W
-    pyi = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + ty * TILE_H
+    pyi = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        + ty * TILE_H
+        + yoff_ref[0]
+    )
     px = pxi.astype(jnp.float32)
     py = pyi.astype(jnp.float32)
     # Frame-border pixels are never written (kernel.cu:337-339).
@@ -774,23 +831,38 @@ def _lines_tile_kernel(
     id_ref[0] = best
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "interpret", "full_height")
+)
 def rasterize_lines_pallas(
     v: jnp.ndarray,
     vi: jnp.ndarray,
     height: int,
     width: int,
     interpret: bool = False,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-binned wireframe rasterization (same contract as
     rasterize._rasterize_lines_impl): depth written on interior AND
-    diamond-crossing pixels, index only on crossing pixels."""
+    diamond-crossing pixels, index only on crossing pixels.
+    ``y_offset``/``full_height``: bit-exact row-tile viewport (see
+    :func:`rasterize_pallas`)."""
     n, f_cnt = vi.shape[0], vi.shape[1]
     n_ty = -(-height // TILE_H)
     n_tx = -(-width // TILE_W)
+    y_off = jnp.asarray(y_offset, jnp.int32).reshape(())
 
     setup = triangle_setup(v.astype(jnp.float32), vi)
-    valid = _canvas_cull(setup, height, width)
+    valid = _canvas_cull(setup, full_height or height, width)
+    if full_height is not None:
+        # Conservative viewport cull — wireframe covers at most one pixel
+        # beyond the bbox through the half-extent diamond test, hence the
+        # one-row slack on both sides.
+        yof = y_off.astype(setup.bbox.dtype)
+        valid = valid & (setup.bbox[..., 3] >= yof - 1) & (
+            setup.bbox[..., 1] <= yof + jnp.asarray(height, setup.bbox.dtype)
+        )
     rows = _pack_setup_lines(setup, v, vi)  # [N, F, 32]
 
     f_pad = -f_cnt % _LGCHUNK
@@ -803,9 +875,16 @@ def rasterize_lines_pallas(
     f_tot = f_cnt + f_pad
     p_tot = f_tot * MAX_SPAN
 
+    # Bin against the viewport-local, half-pixel-expanded bbox: the diamond
+    # test can mark a pixel whose center lies up to 0.5 px outside the
+    # segment bbox, so expansion keeps boundary crossings in the right tile.
+    yf = y_off.astype(bbox_p.dtype)
+    half = jnp.asarray(0.5, bbox_p.dtype)
+    bbox_local = bbox_p + jnp.stack([-half, -half - yf, half, half - yf])
+
     seg_rows, _seg_ids, starts, counts, gmask, gcounts = jax.vmap(
         lambda r, b, vl: _segment_pairs(r, b, vl, n_tx, n_ty)
-    )(rows, bbox_p, valid)
+    )(rows, bbox_local, valid)
 
     gshift = _next_pow2(f_tot)
 
@@ -840,7 +919,7 @@ def rasterize_lines_pallas(
     gbins = gbins.reshape(n, f_tot * _LINE_FIELDS // 128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,  # starts, counts, gcounts, yoff
         grid=(n, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -868,15 +947,24 @@ def rasterize_lines_pallas(
 
     di_img, id_img = pl.pallas_call(
         functools.partial(
-            _lines_tile_kernel, n_tx=n_tx, height=height, width=width
+            _lines_tile_kernel,
+            n_tx=n_tx,
+            height=full_height or height,
+            width=width,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
+            _out_struct(
+                (n, n_ty * TILE_H, n_tx * TILE_W), jnp.float32,
+                starts, seg_rows, y_off,
+            ),
+            _out_struct(
+                (n, n_ty * TILE_H, n_tx * TILE_W), jnp.int32,
+                starts, seg_rows, y_off,
+            ),
         ],
         interpret=interpret,
-    )(starts, counts, gcounts, seg_rows, gbins)
+    )(starts, counts, gcounts, y_off[None], seg_rows, gbins)
 
     di_img = di_img[:, :height, :width]
     id_img = id_img[:, :height, :width]

@@ -271,9 +271,48 @@ def render(
 def render_ref(
     v: jnp.ndarray, vi: jnp.ndarray, index_img: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Float64 reference implementation (oracle), mirroring
-    ``drtk.render_ref`` (drtk/render.py:61-131). Requires x64 enabled."""
+    """Float64 reference oracle, mirroring ``drtk.render_ref``
+    (drtk/render.py:61-131). Requires x64 enabled.
+
+    Deliberately shares NO code with the op's forward: per-corner element
+    gathers (not the packed row gather), ``lambda_0`` computed directly
+    from its own edge function (the op derives ``b0 = 1 - b1 - b2``), and a
+    local epsclamp — so a bug introduced into ``_render_fwd_math`` makes
+    the oracle tests fail rather than cancel out.
+    """
     orig_dtype = v.dtype
-    v64 = v.astype(jnp.float64)
-    depth, bary = _render_fwd_math(v64, broadcast_vi(vi, v.shape[0]), index_img)
-    return depth.astype(orig_dtype), bary.astype(orig_dtype)
+    f64 = jnp.float64
+    v = v.astype(f64)
+    vi = broadcast_vi(vi, v.shape[0])
+    n, h, w = index_img.shape
+    mask = (index_img != -1).astype(f64)
+
+    def eps(x):  # the torch ref's epsclamp (render.py:97-98)
+        return jnp.where(x < 0, jnp.minimum(x, -1e-16), jnp.maximum(x, 1e-16))
+
+    safe = jnp.maximum(index_img, 0)
+    vi_img = jax.vmap(lambda vib, ii: vib[ii])(vi, safe)  # [N, H, W, 3]
+    gv = lambda k: jax.vmap(lambda vb, ii: vb[ii])(v, vi_img[..., k])
+    p0, p1, p2 = gv(0), gv(1), gv(2)  # each [N, H, W, 3]
+
+    e01 = p1 - p0
+    e02 = p2 - p0
+    e12 = p2 - p1
+    den = eps(e01[..., 0] * e02[..., 1] - e01[..., 1] * e02[..., 0])
+
+    xs = jnp.arange(w, dtype=f64)[None, None, :]
+    ys = jnp.arange(h, dtype=f64)[None, :, None]
+    d0x, d0y = xs - p0[..., 0], ys - p0[..., 1]
+    d1x, d1y = xs - p1[..., 0], ys - p1[..., 1]
+
+    lam0 = (d1y * e12[..., 0] - d1x * e12[..., 1]) / den
+    lam1 = (d0x * e02[..., 1] - d0y * e02[..., 0]) / den
+    lam2 = (d0y * e01[..., 0] - d0x * e01[..., 1]) / den
+
+    w0 = lam0 / eps(p0[..., 2])
+    w1 = lam1 / eps(p1[..., 2])
+    w2 = lam2 / eps(p2[..., 2])
+    depth = 1.0 / eps(w0 + w1 + w2)
+
+    bary = jnp.stack([w0, w1, w2], axis=1) * depth[:, None] * mask[:, None]
+    return (depth * mask).astype(orig_dtype), bary.astype(orig_dtype)

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from drtk_tpu.ops.window_accum import bf16_split3
+
 # Accumulation tile: 32x128 px = 4096-lane MXU dots per id slab. Decoupled
 # from the rasterizer's resolve tile (whose height is tuned separately).
 TILE_H = 32
@@ -128,26 +130,25 @@ def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
     """
     idx_row = idx_ref[0]  # (1, PIX)
     rows = rows_ref[0]  # (K, PIX)
-    # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate product
-    # needs only a two-term bf16 split of the rows (hi + lo, ~1e-7
-    # relative) — 2 single-pass MXU dots instead of the 6 passes
-    # Precision.HIGHEST issues for f32 x f32.
-    rows_hi = rows.astype(jnp.bfloat16)
-    rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # The one-hot factor is EXACT in bf16 (0/1), so a three-term bf16 split
+    # of the rows makes the dot exact to f32 (24 mantissa bits covered;
+    # see window_accum.bf16_split3) — 3 single-pass MXU dots instead of the
+    # 6 passes Precision.HIGHEST issues for f32 x f32. A two-term split's
+    # ~2^-17 relative per-product error broke the 1e-4 parity contract on
+    # cancellation-heavy scenes.
+    rows_terms = bf16_split3(rows)
     for c in range(cap // 128):
         ids_col = ids_ref[0, pl.ds(c * 128, 128), :]  # (128, 1)
         onehot = (ids_col == idx_row).astype(jnp.bfloat16)  # [128, PIX]
         dims = (((1,), (1,)), ((), ()))
-        out_ref[0, :, pl.ds(c * 128, 128)] = jax.lax.dot_general(
-            rows_hi,
-            onehot,
-            dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            rows_lo,
-            onehot,
-            dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
+        out_ref[0, :, pl.ds(c * 128, 128)] = sum(
+            jax.lax.dot_general(
+                rt,
+                onehot,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            for rt in rows_terms
         )
 
 

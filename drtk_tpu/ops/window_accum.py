@@ -39,10 +39,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["window_accumulate", "blocked_taps"]
+__all__ = ["window_accumulate", "blocked_taps", "bf16_split3"]
 
 BLK_H = 8
 BLK_W = 128
+
+
+def bf16_split3(x):
+    """Split f32 ``x`` into three bf16 terms whose sum reproduces every f32
+    mantissa bit (3 x 8 explicit bits >= 24; residual < f32 ulp). Used to
+    make one-hot MXU dots exact: the 0/1 factor is exact in bf16, so
+    dot(x, onehot) == sum of three bf16 single-pass dots — half the cost of
+    Precision.HIGHEST's 6 passes and, unlike a two-term split (~2^-17
+    relative), indistinguishable from an f32 scatter-add."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+_bf16_split3 = bf16_split3
 
 
 def blocked_taps(x):
@@ -141,12 +158,14 @@ def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
         crow = crow_ref[0]  # (1, B)
         ccol = ccol_ref[0]  # (1, B)
         b = rows.shape[-1]
-        # The one-hot factor is EXACT in bf16 (0/1), so an f32-accurate
-        # product needs only a two-term bf16 split of the rows (hi + lo,
-        # ~1e-7 relative) — 2 single-pass MXU dots per slab instead of the
-        # 6 passes Precision.HIGHEST would issue for f32 x f32.
-        rows_hi = rows.astype(jnp.bfloat16)
-        rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # The one-hot factor is EXACT in bf16 (0/1), so the product is
+        # exact once the rows are split into bf16 terms covering the full
+        # f32 mantissa: 3 x 8 explicit bits >= 24, residual < f32 ulp.
+        # (A two-term split leaves ~2^-17 relative per product, which
+        # showed up as ~1e-4 after cancellation — past the exact-scatter
+        # parity contract.) 3 single-pass MXU dots per slab, still half
+        # the 6 passes Precision.HIGHEST issues for f32 x f32.
+        rows_terms = _bf16_split3(rows)
         for s in range(1, win_h // 8 + 1):
             @pl.when(gspan == s)
             def _(s=s):
@@ -168,26 +187,24 @@ def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
                     g + jax.lax.broadcasted_iota(jnp.int32, (rgn, 1), 0)
                     == crow
                 ).astype(jnp.bfloat16)
-                lhs_hi = (rows_hi[:, None, :] * rmask[None]).reshape(
-                    k_dim * rgn, b
-                )
-                lhs_lo = (rows_lo[:, None, :] * rmask[None]).reshape(
-                    k_dim * rgn, b
-                )
+                lhs_terms = [
+                    (rt[:, None, :] * rmask[None]).reshape(k_dim * rgn, b)
+                    for rt in rows_terms
+                ]
                 for c in range(halves):
                     @pl.when(c <= cxm)
-                    def _(g=g, rgn=rgn, c=c, lhs_hi=lhs_hi, lhs_lo=lhs_lo):
+                    def _(g=g, rgn=rgn, c=c, lhs_terms=lhs_terms):
                         ids = c * 128 + jax.lax.broadcasted_iota(
                             jnp.int32, (128, 1), 0
                         )
                         onehot = (ids == ccol).astype(jnp.bfloat16)  # (128,B)
                         dims = (((1,), (1,)), ((), ()))
-                        part = jax.lax.dot_general(
-                            lhs_hi, onehot, dimension_numbers=dims,
-                            preferred_element_type=jnp.float32,
-                        ) + jax.lax.dot_general(
-                            lhs_lo, onehot, dimension_numbers=dims,
-                            preferred_element_type=jnp.float32,
+                        part = sum(
+                            jax.lax.dot_general(
+                                lhs, onehot, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32,
+                            )
+                            for lhs in lhs_terms
                         )
                         win_ref[
                             :, g : g + rgn, c * 128 : (c + 1) * 128

@@ -46,15 +46,14 @@ def initialize(
     Call once per process before any jax.devices() use. No-op when the
     runtime is already initialized or when running single-process.
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized — structural check, not message parsing
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_pod_mesh(batch: int = 1, devices=None) -> Mesh:

@@ -93,7 +93,7 @@ def make_row_sharded_forward(
     def block(v, vt, tex):
         y0 = jax.lax.axis_index(pix_axis) * hb
         index_img = dt.rasterize(
-            v, vi, hb, width, impl="xla", y_offset=y0, full_height=height
+            v, vi, hb, width, impl="auto", y_offset=y0, full_height=height
         )
         depth, bary = dt.render(v, vi, index_img, y_offset=y0)
         vt_img = dt.interpolate(vt, vi, index_img, bary)

@@ -1,0 +1,67 @@
+"""Docs build gate (VERDICT r2 item 9): the generated API reference
+(docs/reference/, rendered by docs/gen_api.py) must build cleanly and stay
+in sync with the live export set — every public drtk_tpu symbol appears on
+a generated page, and the committed pages match a fresh render."""
+
+import inspect
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _fresh_render(tmp_path):
+    sys.path.insert(0, str(REPO / "docs"))
+    try:
+        import gen_api
+    finally:
+        sys.path.pop(0)
+    return gen_api.main(str(tmp_path))
+
+
+def test_generated_reference_is_current(tmp_path):
+    out = _fresh_render(tmp_path / "reference")
+    committed = REPO / "docs" / "reference"
+    assert committed.is_dir(), "docs/reference missing — run docs/gen_api.py"
+    fresh = {p.name: p.read_text() for p in out.glob("*.md")}
+    old = {p.name: p.read_text() for p in committed.glob("*.md")}
+    assert fresh == old, (
+        "docs/reference is stale — re-run `python docs/gen_api.py` "
+        f"(differs: {sorted(set(fresh) ^ set(old)) or [n for n in fresh if fresh[n] != old.get(n)]})"
+    )
+
+
+def test_every_public_symbol_documented(tmp_path):
+    import drtk_tpu as dt
+
+    out = _fresh_render(tmp_path / "reference")
+    text = "\n".join(p.read_text() for p in out.glob("*.md"))
+    undocumented = [
+        n for n in dir(dt)
+        if not n.startswith("_")
+        and (callable(getattr(dt, n)) or inspect.isclass(getattr(dt, n)))
+        and not inspect.ismodule(getattr(dt, n))
+        and f"`{n}`" not in text
+    ]
+    assert not undocumented, f"symbols missing from docs: {undocumented}"
+
+
+def test_tutorial_notebooks_valid_and_current(tmp_path):
+    import nbformat
+
+    sys.path.insert(0, str(REPO / "docs"))
+    try:
+        import gen_notebooks
+    finally:
+        sys.path.pop(0)
+    out = gen_notebooks.main(str(tmp_path / "tutorials"))
+    committed = REPO / "docs" / "tutorials"
+    assert committed.is_dir(), "docs/tutorials missing — run docs/gen_notebooks.py"
+    for name in gen_notebooks.TUTORIALS.values():
+        nb_new = nbformat.read(str(out / name), as_version=4)
+        nbformat.validate(nb_new)
+        nb_old = nbformat.read(str(committed / name), as_version=4)
+        assert [c.source for c in nb_old.cells] == [
+            c.source for c in nb_new.cells
+        ], f"{name} stale — re-run `python docs/gen_notebooks.py`"
+        assert sum(c.cell_type == "code" for c in nb_new.cells) >= 3

@@ -148,3 +148,77 @@ def test_two_triangles_convergence():
         v, state, l = step(v, state)
     l_final = float(l)
     assert l_final < l0 / 10, f"loss did not converge: {l0} -> {l_final}"
+
+
+def test_ref_oracle_matches_op():
+    """edge_grad_estimator_ref (the independent in-package float64 oracle,
+    drtk_tpu/ops/edge_grad_ref.py) must reproduce the op's v_pix gradients:
+    different coverage/dp_dr code, autodiff pixel->vertex reduction vs the
+    op's binned-matmul — agreement pins both to the kernel semantics."""
+    from drtk_tpu.ops.grid_sample import grid_sample
+
+    h = w = 96
+    v, vi, _ = two_triangles_scene(h, w, dtype=jnp.float64)
+    rng = np.random.RandomState(3)
+    vt = jnp.asarray(rng.uniform(0.05, 0.95, (1, v.shape[1], 2)))
+    tex = jnp.asarray(rng.rand(1, 3, 32, 32))
+    weight = jnp.asarray(rng.randn(1, 3, h, w))
+
+    def make_loss(eg):
+        def loss(v):
+            idx = dt.rasterize(v, vi, h, w)
+            _, bary = dt.render(v, vi, idx)
+            vt_img = dt.interpolate(vt, vi, idx, bary)
+            uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
+            img = grid_sample(
+                tex, uv, mode="bilinear", padding_mode="border",
+                align_corners=False,
+            )
+            img = img * (idx != -1)[:, None]
+            img = eg(v_pix=v, vi=vi, bary_img=bary, img=img, index_img=idx)
+            return jnp.sum(img * weight)
+
+        return loss
+
+    g_op = jax.jit(jax.grad(make_loss(dt.edge_grad_estimator)))(v)
+    g_rf = jax.jit(jax.grad(make_loss(dt.edge_grad_estimator_ref)))(v)
+    scale = max(float(jnp.abs(g_rf).max()), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_op), np.asarray(g_rf), rtol=1e-9, atol=1e-9 * scale
+    )
+
+
+def test_edge_grad_image_is_the_hook_observable():
+    """edge_grad_image (the v_pix_img_hook replacement) must be exactly the
+    image-space cotangent the estimator's backward reduces to vertices:
+    reducing it through the reference's own route — interpolate's VJP with
+    bary detached (edge_grad_estimator.py:168-175) — reproduces
+    grad(v_pix) from the estimator."""
+    from drtk_tpu.ops.edge_grad import edge_grad_image
+
+    h = w = 64
+    v, vi, _ = two_triangles_scene(h, w)
+    colors = jnp.asarray(
+        np.random.RandomState(0).rand(1, v.shape[1], 3).astype(np.float32)
+    )
+    img, idx, bary = _render_colored(v, vi, colors, h, w)
+    weight = jax.random.normal(jax.random.PRNGKey(2), img.shape)
+
+    def loss(v_pix):
+        out = dt.edge_grad_estimator(v_pix, vi, bary, img, idx)
+        return jnp.sum(out * weight)
+
+    g_est = jax.jit(jax.grad(loss))(v)
+
+    g_img = jax.jit(edge_grad_image)(v, vi, img, idx, weight)
+    vi_b = jnp.broadcast_to(vi[None], (1,) + vi.shape)
+
+    def reduce_to_verts(v_pix):
+        v_img = dt.interpolate(v_pix, vi_b, idx, jax.lax.stop_gradient(bary))
+        mask = (idx != -1)[:, None].astype(v_img.dtype)
+        return jnp.sum(v_img * mask * g_img)
+
+    g_red = jax.jit(jax.grad(reduce_to_verts))(v)
+    np.testing.assert_allclose(
+        np.asarray(g_est), np.asarray(g_red), rtol=1e-5, atol=1e-6
+    )

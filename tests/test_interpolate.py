@@ -147,3 +147,44 @@ def test_geometry_hint_matches_plain():
         dt.interpolate(attrs, vi, index_img, bary, v_pix=v),
         rtol=1e-6,
     )
+
+
+def test_normal_matrix_values_reuses_structure_across_frames():
+    """Explicit value-only recompute (interpolation_normal_matrix_values,
+    mirroring the reference's cached-structure value kernel,
+    interpolate_module.cpp:538-582): one structure serves many frames under
+    jit, values match the full build, and gradients flow to bary."""
+    v, vi, idx, bary, _ = _setup(h=24, w=24)
+    nv = v.shape[1]
+    structure = dt.interpolation_normal_structure(vi, num_vertices=nv)
+
+    @jax.jit
+    def frame_vals(idx, bary):
+        return dt.interpolation_normal_matrix_values(structure, vi, idx, bary)
+
+    # frame 1: parity with the one-shot builder
+    nm = dt.interpolation_normal_matrix(vi, idx, bary, num_vertices=nv)
+    assert_allclose(frame_vals(idx, bary), nm.vals, rtol=1e-6, atol=1e-7)
+
+    # frame 2: new rasterization (shifted geometry), same structure
+    v2 = v + jnp.asarray([0.7, -1.3, 0.2])
+    idx2 = dt.rasterize(v2, vi, idx.shape[1], idx.shape[2])
+    _, bary2 = dt.render(v2, vi, idx2)
+    nm2 = dt.interpolation_normal_matrix(vi, idx2, bary2, num_vertices=nv)
+    assert_allclose(frame_vals(idx2, bary2), nm2.vals, rtol=1e-6, atol=1e-7)
+
+    # gradient to bary against finite differences (f64 for a clean FD)
+    bary64 = bary.astype(jnp.float64)
+
+    def loss(b):
+        return jnp.sum(
+            dt.interpolation_normal_matrix_values(structure, vi, idx, b) ** 2
+        )
+
+    g = jax.grad(loss)(bary64)
+    eps = 1e-6
+    probe = jnp.zeros_like(bary64).at[0, 1, 12, 12].set(1.0)
+    fd = (loss(bary64 + eps * probe) - loss(bary64 - eps * probe)) / (2 * eps)
+    np.testing.assert_allclose(
+        float(jnp.vdot(g, probe)), float(fd), rtol=1e-6, atol=1e-9
+    )

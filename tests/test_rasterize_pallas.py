@@ -202,3 +202,90 @@ def test_wireframe_huge_triangles_global_list():
     v = jnp.asarray(np.concatenate([xy, z], -1))
     vi = jnp.asarray(rng.randint(0, 24, (30, 3)).astype(np.int32))
     assert_lines_match(v, _with_wire_flags(vi), h, w)
+
+
+# ---------------------------------------------------------------------------
+# Row-tile viewports (the sharded path, VERDICT r2 item 3): each tile must
+# equal the corresponding rows of the full-frame Pallas result bit-for-bit
+# (same kernel, same float math — only the binning window moves).
+# ---------------------------------------------------------------------------
+
+
+def _viewport_scene(h=128, w=256):
+    v, vi = random_mesh(jax.random.PRNGKey(11), num_v=64, num_f=96, h=h, w=w)
+    v = v.astype(jnp.float32)
+    if vi.ndim == 2:
+        vi = jnp.broadcast_to(vi[None], (v.shape[0],) + vi.shape)
+    return v, vi
+
+
+def test_viewport_row_tiles_bit_exact():
+    h, w, hb = 128, 256, 32
+    v, vi = _viewport_scene(h, w)
+    d_full, i_full = rasterize_pallas(v, vi, h, w, interpret=True)
+    for y0 in (0, 32, 64, 96):
+        d_t, i_t = rasterize_pallas(
+            v, vi, hb, w, interpret=True, y_offset=y0, full_height=h
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_t), np.asarray(i_full)[:, y0 : y0 + hb]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_t), np.asarray(d_full)[:, y0 : y0 + hb]
+        )
+
+
+def test_wireframe_viewport_row_tiles_bit_exact():
+    from drtk_tpu.ops.rasterize_pallas import rasterize_lines_pallas
+
+    h, w, hb = 128, 256, 32
+    v, vi = _viewport_scene(h, w)
+    vi = _with_wire_flags(np.asarray(vi))
+    d_full, i_full = rasterize_lines_pallas(v, vi, h, w, interpret=True)
+    for y0 in (0, 32, 64, 96):
+        d_t, i_t = rasterize_lines_pallas(
+            v, vi, hb, w, interpret=True, y_offset=y0, full_height=h
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_t), np.asarray(i_full)[:, y0 : y0 + hb]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_t), np.asarray(d_full)[:, y0 : y0 + hb]
+        )
+
+
+def test_viewport_under_shard_map():
+    """Pallas rasterizer inside shard_map with a traced per-device y_offset.
+
+    check_vma=False: jax's pallas HLO *interpreter* fails vma tracking on
+    its internal grid-loop dynamic_slices (unvarying loop indices into
+    varying operands) — a jax-internal limitation of interpret mode, not of
+    the kernel; the compiled Mosaic lowering carries vma via the out_shape
+    structs (rasterize_pallas._out_struct) and runs under check_vma=True.
+    """
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    h, w = 128, 256
+    v, vi = _viewport_scene(h, w)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pix",))
+    hb = h // 4
+
+    def block(v, vi):
+        y0 = jax.lax.axis_index("pix") * hb
+        return rasterize_pallas(
+            v, vi, hb, w, interpret=True, y_offset=y0, full_height=h
+        )
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P()),
+        out_specs=(P(None, "pix", None), P(None, "pix", None)),
+    )
+    d_sh, i_sh = jax.jit(f)(v, vi)
+    d_full, i_full = rasterize_pallas(v, vi, h, w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_full))
+    np.testing.assert_array_equal(np.asarray(d_sh), np.asarray(d_full))

@@ -10,14 +10,18 @@ import drtk_tpu as dt
 from tests.utils import grid_mesh, random_mesh
 
 
-def plain_scatter(rows, index_img, f_cnt):
+def plain_scatter(rows, index_img, f_cnt, dtype=jnp.float64):
+    """Oracle accumulation. float64 by default: an f32 sequential scatter
+    of ~1e5 terms per face carries ~2e-5 relative summation noise of its
+    own — measured MORE than the MXU path's tree-summed dots (8e-7), so
+    comparing two f32 orderings against each other only tests noise."""
     n, h, w, k = rows.shape
     safe = jnp.maximum(index_img, 0).reshape(n, -1)
 
     def one(ids, vals):
-        return jnp.zeros((f_cnt, k), jnp.float32).at[ids].add(vals)
+        return jnp.zeros((f_cnt, k), dtype).at[ids].add(vals)
 
-    return jax.vmap(one)(safe, rows.reshape(n, -1, k).astype(jnp.float32))
+    return jax.vmap(one)(safe, rows.reshape(n, -1, k).astype(dtype))
 
 
 def run_case(v, vi, h, w, k=9, seed=0):
@@ -28,14 +32,15 @@ def run_case(v, vi, h, w, k=9, seed=0):
         rng.randn(*index_img.shape, k).astype(np.float32)
     ) * (index_img >= 0)[..., None]
     ref = plain_scatter(rows, index_img, vi.shape[1])
+    # The MXU path's three-term bf16 split makes every product exact to
+    # f32 (window_accum.bf16_split3); remaining error vs the f64 oracle is
+    # f32 tree-summation noise (measured <=1e-6 rel at 5e4 terms/face).
     out = scatter_rows_to_faces(rows, index_img, v, vi, interpret=True)
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
-    # geometry-free mode: bins derived from index_img (interpolate's default).
-    # Scenes that overflow the geometry path's bins (falling back to the
-    # plain scatter there) can still take the MXU fast path here, so allow
-    # f32 accumulation-order noise.
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # geometry-free mode (v=None, interpolate's default attribute-gradient
+    # path) — identical binning, bins are index-derived either way.
     out2 = scatter_rows_to_faces(rows, index_img, None, vi, interpret=True)
-    np.testing.assert_allclose(out2, ref, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_fast_path_grid_mesh():
@@ -44,7 +49,8 @@ def test_fast_path_grid_mesh():
 
 
 def test_fallback_big_triangles():
-    # Canvas-sized triangles go to the global list -> runtime fallback.
+    # Canvas-sized random triangles: ids per tile are scattered, stressing
+    # the range-bin construction (and the residual fallback if it trips).
     rng = np.random.RandomState(1)
     xy = rng.uniform(-0.5, 1.5, (1, 24, 2)).astype(np.float32) * [640, 256]
     z = rng.uniform(2, 8, (1, 24, 1)).astype(np.float32)
