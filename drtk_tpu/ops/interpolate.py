@@ -68,6 +68,23 @@ def _sweep_pattern(height: int, width: int, channels: int, dtype) -> jnp.ndarray
     return jnp.stack(chans, axis=0)  # [C, H, W]
 
 
+def _sweep_pattern_viewport(
+    height: int, width: int, channels: int, dtype, y_offset, full_height: int
+) -> jnp.ndarray:
+    """Rows [y_offset, y_offset+height) of the FULL-frame sweep pattern —
+    bit-exact with _sweep_pattern(full_height, ...) at those rows (same
+    integer row values, same division). ``y_offset`` may be traced
+    (shard_map axis_index)."""
+    y_off = jnp.asarray(y_offset, jnp.int32)
+    sx = (jnp.arange(width, dtype=dtype) * 2.0 + 1.0) / width - 1.0
+    rows = (jnp.arange(height, dtype=jnp.int32) + y_off).astype(dtype)
+    sy = (rows * 2.0 + 1.0) / full_height - 1.0
+    img_x = jnp.broadcast_to(sx[None, :], (height, width))
+    img_y = jnp.broadcast_to(sy[:, None], (height, width))
+    chans = [img_x if c % 2 == 0 else img_y for c in range(channels)]
+    return jnp.stack(chans, axis=0)  # [C, H, W]
+
+
 def _pix_vi(vi: jnp.ndarray, index_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     mask = index_img >= 0
     safe = jnp.maximum(index_img, 0)
@@ -236,6 +253,8 @@ def interpolate(
     index_img: jnp.ndarray,
     bary_img: jnp.ndarray,
     v_pix: jnp.ndarray = None,
+    y_offset: "int | jnp.ndarray" = 0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Linearly interpolate vertex attributes over rasterized pixels.
 
@@ -252,6 +271,12 @@ def interpolate(
             on TPU instead of a plain scatter (~2x faster backward for
             attribute fits). Results are identical up to fp accumulation
             order.
+        y_offset/full_height: row-tile viewport (drtk_tpu extension, as on
+            :func:`drtk_tpu.rasterize`): when this block holds rows
+            [y_offset, y_offset+H) of a full_height-row frame, the
+            background sweep is computed with GLOBAL rows, so the block is
+            bit-exact with the corresponding rows of the full-frame call
+            even at background pixels. ``y_offset`` may be traced.
 
     Returns:
         [N, C, H, W] interpolated image. Background pixels contain the
@@ -268,10 +293,23 @@ def interpolate(
             f"interpolate: expected bary_img [N, 3, H, W], got {bary_img.shape}"
         )
     if v_pix is not None:
-        return _interpolate_core_geom(
+        out = _interpolate_core_geom(
             vert_attributes, vi, index_img, bary_img, v_pix
         )
-    return _interpolate_core(vert_attributes, vi, index_img, bary_img)
+    else:
+        out = _interpolate_core(vert_attributes, vi, index_img, bary_img)
+    if full_height is not None:
+        # Replace the block-local sweep with the global-row sweep OUTSIDE
+        # the custom-VJP cores: the sweep is constant, and the where passes
+        # foreground cotangents through unchanged (background grads are
+        # masked inside the cores anyway), so gradients are identical.
+        n, h, w = index_img.shape
+        sweep = _sweep_pattern_viewport(
+            h, w, vert_attributes.shape[-1], out.dtype, y_offset,
+            int(full_height),
+        )
+        out = jnp.where((index_img >= 0)[:, None], out, sweep[None])
+    return out
 
 
 def interpolate_ref(

@@ -54,6 +54,13 @@ def make_row_sharded_forward(
     ``P(data_axis, None, pix_axis, None)`` — compose any elementwise loss on
     it outside.
 
+    Parity contract vs the single-device pipeline: index/coverage decisions
+    and the background sweep are bit-exact (viewport rasterize + viewport
+    interpolate sweep); foreground shading values may differ by XLA
+    fusion/FMA-contraction ulps (~1e-7 relative) because the sharded
+    program fuses differently — the same class as the documented
+    Pallas-vs-XLA contract (tests/test_spmd.py pins both halves).
+
     Args:
         mesh: a Mesh with ``pix_axis`` (and optionally ``data_axis``) —
             e.g. from :func:`drtk_tpu.parallel.sharding.make_mesh`.
@@ -96,7 +103,12 @@ def make_row_sharded_forward(
             v, vi, hb, width, impl="auto", y_offset=y0, full_height=height
         )
         depth, bary = dt.render(v, vi, index_img, y_offset=y0)
-        vt_img = dt.interpolate(vt, vi, index_img, bary)
+        # y_offset/full_height: the background sweep uses global rows, so
+        # vt_img matches the full-frame run bit-exactly even at background
+        # pixels (custom shade callbacks need not mask before sampling).
+        vt_img = dt.interpolate(
+            vt, vi, index_img, bary, y_offset=y0, full_height=height
+        )
         img = shade(vt_img, tex)
         img = img * (index_img != -1)[:, None]
         img = dt.edge_grad_estimator(

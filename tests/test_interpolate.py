@@ -188,3 +188,21 @@ def test_normal_matrix_values_reuses_structure_across_frames():
     np.testing.assert_allclose(
         float(jnp.vdot(g, probe)), float(fd), rtol=1e-6, atol=1e-9
     )
+
+
+def test_viewport_sweep_matches_full_frame():
+    """interpolate(y_offset, full_height): each row block — including the
+    -1..1 background sweep — is bit-exact with the corresponding rows of
+    the full-frame call (the sharded pipeline's contract; y_offset may be
+    traced, as shard_map's axis_index is)."""
+    v, vi, idx, bary, attrs = _setup(h=32, w=24)
+    full = dt.interpolate(attrs, vi, idx, bary)
+    hb = 8
+    for y0 in (0, 8, 16, 24):
+        blk = dt.interpolate(
+            attrs, vi, idx[:, y0 : y0 + hb], bary[:, :, y0 : y0 + hb],
+            y_offset=jnp.int32(y0), full_height=32,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blk), np.asarray(full[:, :, y0 : y0 + hb])
+        )

@@ -137,3 +137,53 @@ def test_wireframe_tile_viewport():
     np.testing.assert_array_equal(
         np.asarray(idx_t), np.asarray(idx_full[:, 16:48])
     )
+
+
+def test_random_scene_sweep_and_index_parity():
+    """Random overlapping-triangle scene (harder than the curated scenes
+    above): the sharded pipeline must keep (a) index/bary-driven coverage
+    decisions bit-exact (viewport rasterize), (b) the background sweep
+    bit-exact (interpolate y_offset/full_height), while foreground shading
+    may differ from the single-device program by XLA fusion/contraction
+    ulps only (<=1e-5 absolute at unit scale — same class as the
+    documented Pallas/XLA FMA-contraction contract, CLAUDE.md)."""
+    _require_devices(4)
+    h = w = 64
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 64, (1, 24, 2)), rng.uniform(3, 9, (1, 24, 1))],
+            -1,
+        ).astype(np.float32)
+    )
+    vi = jnp.asarray(rng.randint(0, 24, (30, 3)).astype(np.int32))
+    vt = jnp.asarray(rng.rand(1, 24, 2).astype(np.float32))
+    tex = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    mesh = make_mesh(4, batch=1)
+
+    # index parity: per-shard viewport rasterize == full-frame rows
+    idx1 = dt.rasterize(v, vi, h, w)
+    hb = h // 4
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def idx_block(v):
+        y0 = jax.lax.axis_index("pix") * hb
+        return dt.rasterize(v, vi, hb, w, y_offset=y0, full_height=h)
+
+    idx4 = jax.jit(
+        shard_map(
+            idx_block, mesh=mesh, in_specs=(P(),),
+            out_specs=P(None, "pix", None),
+        )
+    )(v)
+    np.testing.assert_array_equal(np.asarray(idx4), np.asarray(idx1))
+
+    # full pipeline: sweep-exact background, ulp-close foreground
+    fwd = make_row_sharded_forward(mesh, vi, h, w)
+    img4 = jax.jit(fwd)(v, vt, tex)
+    img1 = jax.jit(_ref_forward(vi, h, w))(v, vt, tex)
+    d = np.abs(np.asarray(img4) - np.asarray(img1)).max(axis=1)[0]
+    bg = np.asarray(idx1[0] == -1)
+    assert d[bg].max() == 0.0, "background must be bit-exact (sweep fix)"
+    assert d.max() <= 1e-5, f"foreground beyond ulp budget: {d.max()}"
