@@ -35,37 +35,45 @@ import numpy as np
 BASELINE_MPIX_S = 512 * 512 * 30 / 1e6  # interactive-fit contract
 
 
-def _init_backend(retries=5, delay_s=20.0):
-    """Bring the JAX backend up before any bench work, retrying transient
-    TPU-tunnel init failures (the axon plugin occasionally reports
-    "Unable to initialize backend" / FAILED_PRECONDITION right after a
-    prior job releases the chip). A transient must not erase a round's
-    bench evidence — fail only after persistent errors, and say why."""
-    import jax
+def _init_backend(retries=12, delay_s=60.0, probe_timeout_s=120.0):
+    """Bring the JAX backend up before any bench work, riding out transient
+    TPU-tunnel failures (the axon plugin sometimes raises "Unable to
+    initialize backend ... UNAVAILABLE" — the round-2 bench lost its
+    evidence to exactly that — and sometimes HANGS in device init during
+    tunnel outages). Each probe runs in a SUBPROCESS with a timeout, so a
+    hung init can't wedge the bench; only a probe that succeeds is followed
+    by in-process jax.devices(). Fails with a clear message after ~12 min
+    of persistent unavailability."""
+    import subprocess
+    import sys
 
     last = None
     for attempt in range(retries):
         try:
-            devs = jax.devices()
-            print(
-                json.dumps({"note": "backend up", "devices": len(devs),
-                            "platform": devs[0].platform}),
-                flush=True,
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform, len(d))"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
             )
-            return
-        except Exception as e:  # noqa: BLE001 - deliberate broad retry
-            last = e
-            print(
-                json.dumps({"note": "backend init retry",
-                            "attempt": attempt + 1, "error": str(e)[:200]}),
-                flush=True,
-            )
-            # jax caches a failed init; drop the cache so the retry is real.
-            try:
-                jax.extend.backend.clear_backends()
-            except Exception:  # noqa: BLE001 - older jax fallback
-                pass
-            time.sleep(delay_s)
+            if out.returncode == 0:
+                import jax
+
+                devs = jax.devices()
+                print(
+                    json.dumps({"note": "backend up", "devices": len(devs),
+                                "platform": devs[0].platform}),
+                    flush=True,
+                )
+                return
+            last = out.stderr.strip().splitlines()[-1:] or ["rc != 0"]
+        except subprocess.TimeoutExpired:
+            last = [f"device init hung > {probe_timeout_s}s (tunnel outage?)"]
+        print(
+            json.dumps({"note": "backend init retry",
+                        "attempt": attempt + 1, "error": str(last)[:200]}),
+            flush=True,
+        )
+        time.sleep(delay_s)
     raise RuntimeError(
         f"JAX backend failed to initialize after {retries} attempts: {last}"
     )
