@@ -21,9 +21,14 @@ Design (SURVEY.md §7.1/§7.3):
     the gather lane-padded 8x in HBM and bin overflow flooded a global
     list that every tile had to march — the dense-scene cliff. Segments
     remove both failure modes.)
-  - only triangles spanning more than ``MAX_SPAN`` tiles go to a per-batch
-    **global list** processed by every tile. The z-test is idempotent, so
-    duplicated triangles are harmless (SURVEY.md §7.3.6).
+  - triangles spanning more than ``MAX_SPAN`` tiles bin **hierarchically**
+    against a ``SUPER x SUPER``-tile coarse grid (segments ``n_tiles + s``
+    of the same sorted arrays, marched by every tile inside supertile
+    ``s``), so even a mesh of large triangles costs each tile only its
+    supertile's share; only triangles spanning more than ``MAX_SPAN``
+    supertiles (~>=1k-px extents) go to the per-batch **global list**
+    processed by every tile. The z-test is idempotent, so duplicated
+    triangles are harmless (SURVEY.md §7.3.6).
 
 * **Phase B — per-tile resolve (Pallas).** One program per (batch, tile).
   Each tile streams its segment from HBM in ``CHUNK``-pair slabs through
@@ -60,7 +65,8 @@ __all__ = ["rasterize_pallas", "rasterize_lines_pallas"]
 
 TILE_H = 32
 TILE_W = 128
-MAX_SPAN = 4  # max tiles a binned triangle may cover (else -> global list)
+MAX_SPAN = 4  # max grid cells a binned triangle may cover at either level
+SUPER = 4  # supertile = SUPER x SUPER tiles (hierarchical binning, level 2)
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = float("-inf")
 
@@ -147,20 +153,33 @@ def _sort_pairs(flat_tile, n_tiles):
 
 
 def _segment_pairs(setup_rows, bbox, valid, n_tx, n_ty, tile_h=TILE_H):
-    """Sorted-segment work lists for ONE batch element.
+    """Sorted-segment work lists for ONE batch element — two-level
+    hierarchical binning.
 
-    Returns (seg_rows [P, 16] f32 — setup rows in tile-sorted pair order,
+    Triangles spanning <= MAX_SPAN tiles bin against the fine tile grid;
+    larger ones bin against a SUPER x SUPER-tile coarse grid (segment ids
+    n_tiles + s, marched by every tile inside supertile s); only triangles
+    spanning > MAX_SPAN supertiles (>= ~1k px extents at the default tile)
+    fall to the global list every tile marches. This removes the dense
+    large-triangle cliff: a mesh of ~64-tile-span triangles costs each tile
+    its supertile's segment (~1/16th of the old every-tile global march).
+
+    Returns (seg_rows [P, 16] f32 — setup rows in segment-sorted pair order,
              seg_ids [P] i32 — triangle ids in the same order,
-             starts [T] i32, counts [T] i32 — each tile's contiguous
-             segment of the sorted arrays,
+             starts [T + TS] i32, counts [T + TS] i32 — fine tiles then
+             supertiles, each a contiguous segment of the sorted arrays,
              gmask [F] bool, gcount [1] — the big-span global set).
 
-    Dead pairs (beyond a triangle's span, culled, or big-span) sort to the
-    tail via the ``n_tiles`` sentinel; their gathered rows are garbage but
-    no tile's exact [start, start+count) range ever reaches them.
+    Dead pairs (beyond a triangle's span, culled, or global) sort to the
+    tail via the sentinel; their gathered rows are garbage but no segment's
+    exact [start, start+count) range ever reaches them.
     """
     f_cnt = setup_rows.shape[0]
     n_tiles = n_tx * n_ty
+    n_sx = -(-n_tx // SUPER)
+    n_sy = -(-n_ty // SUPER)
+    n_super = n_sx * n_sy
+    n_segs = n_tiles + n_super
 
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / TILE_W).astype(jnp.int32), 0, n_tx - 1)
     ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h).astype(jnp.int32), 0, n_ty - 1)
@@ -169,23 +188,40 @@ def _segment_pairs(setup_rows, bbox, valid, n_tx, n_ty, tile_h=TILE_H):
     sx = tx1 - tx0 + 1
     sy = ty1 - ty0 + 1
     span = sx * sy
-    big = span > MAX_SPAN
+    fine = span <= MAX_SPAN
 
-    # Enumerate the (tile, tri) pairs of small-span triangles.
+    # Supertile coords derived from the (clipped) tile coords.
+    stx0, sty0 = tx0 // SUPER, ty0 // SUPER
+    stx1, sty1 = tx1 // SUPER, ty1 // SUPER
+    ssx = stx1 - stx0 + 1
+    ssy = sty1 - sty0 + 1
+    sspan = ssx * ssy
+    coarse = (~fine) & (sspan <= MAX_SPAN)
+    big = (~fine) & (~coarse)
+
+    # Enumerate (segment, tri) pairs: fine triangles against tile cells,
+    # coarse ones against supertile cells — MAX_SPAN slots either way.
     k = jnp.arange(MAX_SPAN, dtype=jnp.int32)  # [S]
-    dx = k[None, :] % sx[:, None]
-    dy = k[None, :] // sx[:, None]
-    pair_tile = (ty0[:, None] + dy) * n_tx + (tx0[:, None] + dx)  # [F, S]
-    pair_ok = (k[None, :] < span[:, None]) & valid[:, None] & (~big[:, None])
-    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)  # sentinel -> sorts last
+    w_eff = jnp.where(fine, sx, ssx)[:, None]
+    dx = k[None, :] % w_eff
+    dy = k[None, :] // w_eff
+    fine_seg = (ty0[:, None] + dy) * n_tx + (tx0[:, None] + dx)
+    coarse_seg = n_tiles + (sty0[:, None] + dy) * n_sx + (stx0[:, None] + dx)
+    pair_seg = jnp.where(fine[:, None], fine_seg, coarse_seg)  # [F, S]
+    pair_ok = (
+        (k[None, :] < jnp.where(fine, span, sspan)[:, None])
+        & valid[:, None]
+        & (~big[:, None])
+    )
+    pair_seg = jnp.where(pair_ok, pair_seg, n_segs)  # sentinel -> sorts last
 
-    flat_tile = pair_tile.reshape(-1)  # [P]
-    sorted_tile, sorted_pair = _sort_pairs(flat_tile, n_tiles)
-    del sorted_tile
+    flat_seg = pair_seg.reshape(-1)  # [P]
+    sorted_seg, sorted_pair = _sort_pairs(flat_seg, n_segs)
+    del sorted_seg
     seg_ids = sorted_pair // MAX_SPAN  # triangle id per sorted pair
 
     counts = (
-        jnp.zeros((n_tiles + 1,), jnp.int32).at[flat_tile].add(1)[:n_tiles]
+        jnp.zeros((n_segs + 1,), jnp.int32).at[flat_seg].add(1)[:n_segs]
     )
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
@@ -226,6 +262,7 @@ def _tile_kernel(
     sem3,
     *,
     n_tx: int,
+    n_ty: int,
     tile_h: int,
 ):
     n = pl.program_id(0)
@@ -298,47 +335,57 @@ def _tile_kernel(
     di0 = jnp.full((tile_h, TILE_W), _NEG_INF, jnp.float32)
     id0 = jnp.full((tile_h, TILE_W), _INT32_MAX, jnp.int32)
 
-    # --- The tile's own contiguous segment, streamed in CHUNK-pair slabs.
-    start = starts_ref[n, tile]
-    cnt = counts_ref[n, tile]
-    cbase = start // jnp.int32(_CHUNK)  # first chunk touched
-    k0 = start - cbase * jnp.int32(_CHUNK)  # in-chunk offset of the segment
-    nch = jnp.where(
-        cnt > 0,
-        (k0 + cnt + jnp.int32(_CHUNK - 1)) // jnp.int32(_CHUNK),
-        jnp.int32(0),
-    )
-
-    def seg_chunk(c, carry):
-        cp0 = pltpu.make_async_copy(
-            seg_hbm.at[n, pl.ds((cbase + c) * _SEG_ROWS, _SEG_ROWS), :],
-            seg_scr,
-            sem0,
-        )
-        cp1 = pltpu.make_async_copy(
-            sid_hbm.at[n, pl.ds((cbase + c) * _SID_ROWS, _SID_ROWS), :],
-            sid_scr,
-            sem1,
-        )
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
-        lo = jnp.maximum(k0 - c * jnp.int32(_CHUNK), 0)
-        hi = jnp.minimum(k0 + cnt - c * jnp.int32(_CHUNK), jnp.int32(_CHUNK))
-        return jax.lax.fori_loop(
-            lo // jnp.int32(4),
-            (hi + jnp.int32(3)) // jnp.int32(4),
-            make_body(
-                lambda i: seg_scr[i // 128, i % 128],
-                lambda k: sid_scr[k // 128, k % 128],
-                lo,
-                hi,
-            ),
-            carry,
+    def march_segment(seg, carry):
+        """Stream segment ``seg`` of the sorted pair arrays through SMEM in
+        CHUNK-pair slabs and fold it into the z-buffer carry."""
+        start = starts_ref[n, seg]
+        cnt = counts_ref[n, seg]
+        cbase = start // jnp.int32(_CHUNK)  # first chunk touched
+        k0 = start - cbase * jnp.int32(_CHUNK)  # in-chunk segment offset
+        nch = jnp.where(
+            cnt > 0,
+            (k0 + cnt + jnp.int32(_CHUNK - 1)) // jnp.int32(_CHUNK),
+            jnp.int32(0),
         )
 
-    di, best = jax.lax.fori_loop(0, nch, seg_chunk, (di0, id0))
+        def seg_chunk(c, carry):
+            cp0 = pltpu.make_async_copy(
+                seg_hbm.at[n, pl.ds((cbase + c) * _SEG_ROWS, _SEG_ROWS), :],
+                seg_scr,
+                sem0,
+            )
+            cp1 = pltpu.make_async_copy(
+                sid_hbm.at[n, pl.ds((cbase + c) * _SID_ROWS, _SID_ROWS), :],
+                sid_scr,
+                sem1,
+            )
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
+            lo = jnp.maximum(k0 - c * jnp.int32(_CHUNK), 0)
+            hi = jnp.minimum(k0 + cnt - c * jnp.int32(_CHUNK), jnp.int32(_CHUNK))
+            return jax.lax.fori_loop(
+                lo // jnp.int32(4),
+                (hi + jnp.int32(3)) // jnp.int32(4),
+                make_body(
+                    lambda i: seg_scr[i // 128, i % 128],
+                    lambda k: sid_scr[k // 128, k % 128],
+                    lo,
+                    hi,
+                ),
+                carry,
+            )
+
+        return jax.lax.fori_loop(0, nch, seg_chunk, carry)
+
+    # --- The tile's own contiguous segment, then the enclosing supertile's
+    # (hierarchical binning level 2: triangles too big for the fine grid).
+    di, best = march_segment(tile, (di0, id0))
+    n_tiles = n_tx * n_ty
+    n_sx = -(-n_tx // SUPER)
+    stile = (ty // SUPER) * n_sx + (tx // SUPER)
+    di, best = march_segment(n_tiles + stile, (di, best))
 
     # --- Global list: stream SMEM-sized chunks from HBM. The DMA per chunk
     # is the same for every tile; the z-test is idempotent so order is free.
@@ -525,7 +572,7 @@ def rasterize_pallas(
     )
 
     di_img, id_img = pl.pallas_call(
-        functools.partial(_tile_kernel, n_tx=n_tx, tile_h=tile_h),
+        functools.partial(_tile_kernel, n_tx=n_tx, n_ty=n_ty, tile_h=tile_h),
         grid_spec=grid_spec,
         out_shape=[
             _out_struct(
@@ -634,6 +681,7 @@ def _lines_tile_kernel(
     sem1,
     *,
     n_tx: int,
+    n_ty: int,
     height: int,  # FULL canvas height (the border test is global)
     width: int,
 ):
@@ -774,34 +822,44 @@ def _lines_tile_kernel(
     di0 = jnp.full((TILE_H, TILE_W), _NEG_INF, jnp.float32)
     id0 = jnp.full((TILE_H, TILE_W), _INT32_MAX, jnp.int32)
 
-    start = starts_ref[n, tile]
-    cnt = counts_ref[n, tile]
-    cbase = start // jnp.int32(_LCHUNK)
-    k0 = start - cbase * jnp.int32(_LCHUNK)
-    nch = jnp.where(
-        cnt > 0,
-        (k0 + cnt + jnp.int32(_LCHUNK - 1)) // jnp.int32(_LCHUNK),
-        jnp.int32(0),
-    )
-
-    def seg_chunk(c, carry):
-        cp = pltpu.make_async_copy(
-            seg_hbm.at[n, pl.ds((cbase + c) * _LSEG_ROWS, _LSEG_ROWS), :],
-            seg_scr,
-            sem0,
-        )
-        cp.start()
-        cp.wait()
-        lo = jnp.maximum(k0 - c * jnp.int32(_LCHUNK), 0)
-        hi = jnp.minimum(k0 + cnt - c * jnp.int32(_LCHUNK), jnp.int32(_LCHUNK))
-        return jax.lax.fori_loop(
-            lo // jnp.int32(2),
-            (hi + jnp.int32(1)) // jnp.int32(2),
-            make_body(lambda i: seg_scr[i // 128, i % 128], lo, hi),
-            carry,
+    def march_segment(seg, carry):
+        start = starts_ref[n, seg]
+        cnt = counts_ref[n, seg]
+        cbase = start // jnp.int32(_LCHUNK)
+        k0 = start - cbase * jnp.int32(_LCHUNK)
+        nch = jnp.where(
+            cnt > 0,
+            (k0 + cnt + jnp.int32(_LCHUNK - 1)) // jnp.int32(_LCHUNK),
+            jnp.int32(0),
         )
 
-    di, best = jax.lax.fori_loop(0, nch, seg_chunk, (di0, id0))
+        def seg_chunk(c, carry):
+            cp = pltpu.make_async_copy(
+                seg_hbm.at[n, pl.ds((cbase + c) * _LSEG_ROWS, _LSEG_ROWS), :],
+                seg_scr,
+                sem0,
+            )
+            cp.start()
+            cp.wait()
+            lo = jnp.maximum(k0 - c * jnp.int32(_LCHUNK), 0)
+            hi = jnp.minimum(
+                k0 + cnt - c * jnp.int32(_LCHUNK), jnp.int32(_LCHUNK)
+            )
+            return jax.lax.fori_loop(
+                lo // jnp.int32(2),
+                (hi + jnp.int32(1)) // jnp.int32(2),
+                make_body(lambda i: seg_scr[i // 128, i % 128], lo, hi),
+                carry,
+            )
+
+        return jax.lax.fori_loop(0, nch, seg_chunk, carry)
+
+    # Fine segment, then the enclosing supertile's (hierarchical binning).
+    di, best = march_segment(tile, (di0, id0))
+    n_tiles = n_tx * n_ty
+    n_sx = -(-n_tx // SUPER)
+    stile = (ty // SUPER) * n_sx + (tx // SUPER)
+    di, best = march_segment(n_tiles + stile, (di, best))
 
     gcount = gcounts_ref[n, 0]
     rows_g = _LGCHUNK * _LINE_FIELDS // 128
@@ -949,6 +1007,7 @@ def rasterize_lines_pallas(
         functools.partial(
             _lines_tile_kernel,
             n_tx=n_tx,
+            n_ty=n_ty,
             height=full_height or height,
             width=width,
         ),

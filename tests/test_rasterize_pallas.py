@@ -289,3 +289,73 @@ def test_viewport_under_shard_map():
     d_full, i_full = rasterize_pallas(v, vi, h, w, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_full))
     np.testing.assert_array_equal(np.asarray(d_sh), np.asarray(d_full))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical binning (SUPER x SUPER supertile tier): medium-span triangles
+# must bin coarsely (empty global list) and still match the XLA oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_supertile_tier_bins_medium_triangles():
+    from drtk_tpu.ops.rasterize_pallas import (
+        MAX_SPAN, SUPER, TILE_H, TILE_W, _canvas_cull, _pack_setup,
+        _segment_pairs, triangle_setup,
+    )
+
+    h, w = 512, 512  # 16 x 4 tiles -> 4 x 1 supertiles
+    rng = np.random.RandomState(7)
+    # Triangles ~200 px across: span > MAX_SPAN fine tiles, but a couple of
+    # supertiles at most.
+    c = rng.uniform(50, 460, (40, 2)).astype(np.float32)
+    offs = rng.uniform(-120, 120, (40, 3, 2)).astype(np.float32)
+    xy = (c[:, None] + offs).reshape(-1, 2)
+    z = rng.uniform(3, 9, (120, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1)[None])
+    vi = jnp.asarray((np.arange(120).reshape(40, 3)).astype(np.int32))
+
+    setup = triangle_setup(v, jnp.broadcast_to(vi[None], (1,) + vi.shape))
+    valid = _canvas_cull(setup, h, w)
+    rows = _pack_setup(setup, valid)
+    n_tx, n_ty = -(-w // TILE_W), -(-h // TILE_H)
+    _, _, starts, counts, gmask, gcount = jax.vmap(
+        lambda r, b, vl: _segment_pairs(r, b, vl, n_tx, n_ty)
+    )(rows, setup.bbox, valid)
+
+    n_tiles = n_tx * n_ty
+    fine_pairs = int(np.asarray(counts)[0, :n_tiles].sum())
+    super_pairs = int(np.asarray(counts)[0, n_tiles:].sum())
+    assert int(gcount[0, 0]) == 0, "medium triangles must not go global"
+    assert super_pairs > 0, "supertile tier unused"
+    # sanity: some small triangles may still bin finely; spans > MAX_SPAN
+    # must all be in the coarse tier
+    assert super_pairs + fine_pairs > 0
+
+    # and the rendered result matches the XLA oracle
+    assert_match(v, vi, h, w)
+
+
+def test_supertile_tier_under_viewport():
+    """Viewport row tiles stay bit-exact when the coarse tier is active."""
+    h, w, hb = 512, 512, 128
+    rng = np.random.RandomState(8)
+    c = rng.uniform(50, 460, (30, 2)).astype(np.float32)
+    offs = rng.uniform(-150, 150, (30, 3, 2)).astype(np.float32)
+    xy = (c[:, None] + offs).reshape(-1, 2)
+    z = rng.uniform(3, 9, (90, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1)[None])
+    vi = jnp.broadcast_to(
+        jnp.asarray(np.arange(90).reshape(30, 3).astype(np.int32))[None],
+        (1, 30, 3),
+    )
+    d_full, i_full = rasterize_pallas(v, vi, h, w, interpret=True)
+    for y0 in (0, 128, 384):
+        d_t, i_t = rasterize_pallas(
+            v, vi, hb, w, interpret=True, y_offset=y0, full_height=h
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_t), np.asarray(i_full)[:, y0 : y0 + hb]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_t), np.asarray(d_full)[:, y0 : y0 + hb]
+        )
