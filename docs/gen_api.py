@@ -79,6 +79,7 @@ def main(out_dir: str | None = None) -> pathlib.Path:
                 "interpolation_normal_matrix",
                 "interpolation_normal_structure",
                 "interpolation_normal_matrix_values",
+                "InterpolationMatrix", "NormalMatrix", "NormalStructure",
                 "edge_grad_estimator", "edge_grad_estimator_ref",
                 "screen_space_uv_derivative",
             ],

@@ -22,6 +22,9 @@ from drtk_tpu.ops.filter2d import (  # noqa
     upsample,
 )
 from drtk_tpu.ops.interpolate import (  # noqa
+    InterpolationMatrix,
+    NormalMatrix,
+    NormalStructure,
     interpolate,
     interpolate_ref,
     interpolation_matrix,
