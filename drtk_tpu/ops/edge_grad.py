@@ -35,7 +35,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import epsclamp, psum_cotangent
+from drtk_tpu.ops.math import autocast_f32, epsclamp, psum_cotangent
 from drtk_tpu.ops.rasterize import broadcast_vi
 
 __all__ = ["edge_grad_estimator", "edge_grad_estimator_ref"]
@@ -465,6 +465,11 @@ def edge_grad_estimator(
             "v_pix_img_hook is not supported in the JAX port; inspect "
             "gradients with jax.grad on v_pix_img instead"
         )
+    # Autocast parity (edge_grad_module.cpp:189-197): f16/bf16 inputs
+    # compute in float32.
+    v_pix = autocast_f32(v_pix)
+    bary_img = autocast_f32(bary_img)
+    img = autocast_f32(img)
     vi = broadcast_vi(vi, v_pix.shape[0])
     if spmd_axis_name is not None:
         if full_height is None:

@@ -264,8 +264,13 @@ def grid_sample(
         align_corners: corner-alignment convention.
 
     Returns:
-        [N, C, *grid.shape[1:-1]] sampled values.
+        [N, C, *grid.shape[1:-1]] sampled values. f16/bf16 inputs compute
+        in float32 (ATen autocasts grid_sampler to fp32; autocast parity).
     """
+    from drtk_tpu.ops.math import autocast_f32
+
+    input = autocast_f32(input)
+    grid = autocast_f32(grid)
     if input.ndim != 4:
         raise ValueError(f"grid_sample: expected [N, C, H, W] input, got {input.shape}")
     if grid.shape[-1] != 2:

@@ -254,8 +254,14 @@ def grid_scatter(
         align_corners: as in grid_sample; None -> False.
 
     Returns:
-        [N, C, output_height, output_width] accumulated values.
+        [N, C, output_height, output_width] accumulated values. f16/bf16
+        inputs compute in float32 (autocast parity,
+        grid_scatter_module.cpp:120-146).
     """
+    from drtk_tpu.ops.math import autocast_f32
+
+    input = autocast_f32(input)
+    grid = autocast_f32(grid)
     if mode not in ("bilinear", "bicubic"):
         raise ValueError(
             "grid_scatter(): only 'bilinear' and 'bicubic' modes are "

@@ -38,7 +38,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import psum_cotangent
+from drtk_tpu.ops.math import autocast_f32, psum_cotangent
 import numpy as np
 
 from drtk_tpu.ops.rasterize import broadcast_vi
@@ -283,6 +283,10 @@ def interpolate(
         deterministic -1..1 sweep pattern and must be ignored by the caller
         (matching the reference's documented contract).
     """
+    # Autocast parity (interpolate_module.cpp Autocast impls): f16/bf16
+    # inputs compute in float32.
+    vert_attributes = autocast_f32(vert_attributes)
+    bary_img = autocast_f32(bary_img)
     if vert_attributes.ndim != 3:
         raise ValueError(
             f"interpolate: expected [N, V, C] attributes, got {vert_attributes.shape}"
@@ -429,6 +433,7 @@ def interpolation_matrix(
     CSR (dynamic shapes are not expressible under jit; background rows are
     masked). Gradients flow to ``bary_img`` through ``vals``.
     """
+    bary_img = autocast_f32(bary_img)
     vi = broadcast_vi(vi, index_img.shape[0])
     n, h, w = index_img.shape
     pix_vi, mask = _pix_vi(vi, index_img)
@@ -575,6 +580,7 @@ def interpolation_normal_matrix_values(
 
     Returns [N, nnz] values aligned with ``structure.rows/cols``.
     """
+    bary_img = autocast_f32(bary_img)
     vi_b = broadcast_vi(vi, index_img.shape[0])
     n, h, w = index_img.shape
     _, mask = _pix_vi(vi_b, index_img)

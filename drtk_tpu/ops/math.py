@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["epsclamp", "eps_for_dtype", "vary_like"]
+__all__ = ["autocast_f32", "epsclamp", "eps_for_dtype", "vary_like"]
 
 
 def eps_for_dtype(dtype) -> float:
@@ -83,3 +83,16 @@ def psum_cotangent(g: jnp.ndarray, primal: jnp.ndarray) -> jnp.ndarray:
     if not extra:
         return g
     return jax.lax.psum(g, tuple(sorted(extra)))
+
+
+def autocast_f32(x):
+    """fp32 cast-through for half-precision floating inputs — the JAX
+    analogue of the reference's Autocast impls
+    (``at::autocast::cached_cast(torch::kFloat32, t)``, registered for
+    every op module, e.g. render_module.cpp:81-99): when an op is fed
+    f16/bf16 tensors it computes — and returns — float32, exactly what
+    reference users get under ``torch.autocast``. Ints and f32/f64 pass
+    through untouched; ``None`` passes through for optional args."""
+    if x is not None and x.dtype in (jnp.float16, jnp.bfloat16):
+        return x.astype(jnp.float32)
+    return x

@@ -583,6 +583,13 @@ def mipmap_grid_sample(
         )
     if not input:
         raise ValueError("mipmap_grid_sample(): empty mip pyramid")
+    # Autocast parity (mipmap_grid_sampler_module.cpp:232+): f16/bf16
+    # inputs compute in float32.
+    from drtk_tpu.ops.math import autocast_f32
+
+    input = [autocast_f32(lvl) for lvl in input]
+    grid = autocast_f32(grid)
+    vt_dxdy_img = autocast_f32(vt_dxdy_img)
     if len(input) > _MAX_MIPMAP_COUNT:
         raise ValueError(
             f"mipmap_grid_sample(): at most {_MAX_MIPMAP_COUNT} mip levels "

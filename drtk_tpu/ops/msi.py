@@ -205,6 +205,13 @@ def msi(
         Gradients flow to ``texture`` only, like the reference
         (msi_module.cpp:108-122).
     """
+    # Autocast parity (msi_module.cpp:145-171): f16/bf16 inputs compute in
+    # float32.
+    from drtk_tpu.ops.math import autocast_f32
+
+    ray_o = autocast_f32(ray_o)
+    ray_d = autocast_f32(ray_d)
+    texture = autocast_f32(texture)
     if ray_o.ndim != 2 or ray_o.shape[-1] != 3:
         raise ValueError(f"msi: expected ray_o [N, 3], got {ray_o.shape}")
     if ray_d.shape != ray_o.shape:

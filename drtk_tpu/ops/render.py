@@ -28,7 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from drtk_tpu.ops.math import epsclamp, psum_cotangent
+from drtk_tpu.ops.math import autocast_f32, epsclamp, psum_cotangent
 from drtk_tpu.ops.rasterize import broadcast_vi
 
 __all__ = ["render", "render_ref"]
@@ -257,7 +257,10 @@ def render(
 
     Returns:
         (depth_img [N, H, W], bary_img [N, 3, H, W]); zeros at background.
+        f16/bf16 ``v`` computes in float32 (autocast parity,
+        render_module.cpp:81-99).
     """
+    v = autocast_f32(v)
     if v.ndim != 3 or v.shape[-1] != 3:
         raise ValueError(f"render: expected v of shape [N, V, 3], got {v.shape}")
     vi = broadcast_vi(vi, v.shape[0])

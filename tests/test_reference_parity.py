@@ -201,3 +201,82 @@ def test_render_interpolate_grads_vs_torch_autograd():
     np.testing.assert_allclose(
         np.asarray(gvt_j), vt_t.grad.numpy(), rtol=1e-9, atol=1e-12
     )
+
+
+def test_autocast_f32_cast_through():
+    """f16/bf16 inputs compute — and return — float32, the JAX analogue of
+    the reference's Autocast registrations on every op module (fp32
+    cached_cast, e.g. render_module.cpp:81-99, edge_grad_module.cpp:189-197,
+    msi_module.cpp:145-171): a bf16 pipeline produces exactly the f32
+    pipeline's results."""
+    import drtk_tpu as dt
+    from drtk_tpu.ops.grid_sample import grid_sample
+
+    h = w = 48
+    rng = np.random.RandomState(5)
+    v32 = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 48, (1, 12, 2)), rng.uniform(3, 9, (1, 12, 1))],
+            -1,
+        ).astype(np.float32)
+    )
+    # Round to bf16-exact values so the bf16 run IS the f32 run after cast.
+    v32 = v32.astype(jnp.bfloat16).astype(jnp.float32)
+    vi = jnp.asarray(rng.randint(0, 12, (8, 3)).astype(np.int32))
+    tex32 = jnp.asarray(
+        rng.rand(1, 3, 16, 16).astype(np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    vt32 = jnp.asarray(rng.rand(1, 12, 2).astype(np.float32)).astype(
+        jnp.bfloat16
+    ).astype(jnp.float32)
+
+    def pipe(v, vt, tex):
+        idx = dt.rasterize(v, vi, h, w)
+        depth, bary = dt.render(v, vi, idx)
+        vt_img = dt.interpolate(vt, vi, idx, bary)
+        uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
+        img = grid_sample(tex, uv, padding_mode="border")
+        img = img * (idx != -1)[:, None]
+        return dt.edge_grad_estimator(
+            v_pix=v, vi=vi, bary_img=bary, img=img, index_img=idx
+        )
+
+    out32 = pipe(v32, vt32, tex32)
+    out_bf = pipe(
+        v32.astype(jnp.bfloat16), vt32.astype(jnp.bfloat16),
+        tex32.astype(jnp.bfloat16),
+    )
+    assert out_bf.dtype == jnp.float32, "autocast must return float32"
+    np.testing.assert_array_equal(np.asarray(out_bf), np.asarray(out32))
+
+    # texture ops
+    grid = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 2)).astype(np.float32))
+    grid = grid.astype(jnp.bfloat16).astype(jnp.float32)
+    sc32 = dt.grid_scatter(tex32, grid, 16, 16)
+    sc_bf = dt.grid_scatter(tex32.astype(jnp.bfloat16),
+                            grid.astype(jnp.bfloat16), 16, 16)
+    assert sc_bf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(sc_bf), np.asarray(sc32))
+
+    msi_tex = jnp.asarray(rng.rand(4, 4, 8, 16).astype(np.float32))
+    msi_tex = msi_tex.astype(jnp.bfloat16).astype(jnp.float32)
+    rd = jnp.asarray(
+        np.array([[0.0, 0.0, 1.0], [0.6, 0.0, 0.8]], np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)  # bf16-exact directions
+    ro = jnp.zeros((2, 3), jnp.float32)
+    m32 = dt.msi(ro, rd, msi_tex)
+    m_bf = dt.msi(ro.astype(jnp.bfloat16), rd.astype(jnp.bfloat16),
+                  msi_tex.astype(jnp.bfloat16))
+    assert m_bf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(m_bf), np.asarray(m32))
+
+    levels = [tex32, tex32[:, :, ::2, ::2]]
+    uvg = grid.reshape(1, 16, 16, 2)
+    dxdy = jnp.full((1, 16, 16, 2, 2), 0.125, jnp.float32)
+    mm32 = dt.mipmap_grid_sample(levels, uvg, dxdy, max_aniso=2)
+    mm_bf = dt.mipmap_grid_sample(
+        [l.astype(jnp.bfloat16) for l in levels],
+        uvg.astype(jnp.bfloat16), dxdy.astype(jnp.bfloat16), max_aniso=2,
+    )
+    assert mm_bf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(mm_bf), np.asarray(mm32))
