@@ -61,7 +61,10 @@ def test_nonaligned_size():
 
 
 def test_huge_triangles_use_global_list():
-    # Triangles covering most of the canvas exceed MAX_SPAN tiles.
+    # Triangles covering most of the canvas exceed MAX_SPAN fine tiles;
+    # with hierarchical binning they land in the supertile tier at this
+    # canvas size (the TRUE global list is covered by
+    # test_true_global_list_tall_canvas).
     rng = np.random.RandomState(3)
     h = w = 256
     xy = rng.uniform(-0.5, 1.5, (1, 30, 2)).astype(np.float32) * [w, h]
@@ -359,3 +362,52 @@ def test_supertile_tier_under_viewport():
         np.testing.assert_array_equal(
             np.asarray(d_t), np.asarray(d_full)[:, y0 : y0 + hb]
         )
+
+
+# ---------------------------------------------------------------------------
+# TRUE global-list coverage: with hierarchical binning, triangles only go
+# global when they span > MAX_SPAN supertiles (> 4x(128x512) px at default
+# tiles) — a tall canvas keeps that path exercised.
+# ---------------------------------------------------------------------------
+
+
+def _tall_global_scene(rng, n_v=24, n_f=16, h=2048, w=128):
+    # Full-height slivers: ssy ~ 16 supertiles -> sspan > MAX_SPAN -> global.
+    x = rng.uniform(0, w, (1, n_v, 1)).astype(np.float32)
+    y = rng.uniform(-0.2, 1.2, (1, n_v, 1)).astype(np.float32) * h
+    z = rng.uniform(2.0, 8.0, (1, n_v, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([x, y, z], -1))
+    vi = jnp.asarray(rng.randint(0, n_v, (n_f, 3)).astype(np.int32))
+    return v, vi
+
+
+def test_true_global_list_tall_canvas():
+    from drtk_tpu.ops.rasterize_pallas import (
+        MAX_SPAN, SUPER, TILE_W, _canvas_cull, _pack_setup,
+        _segment_pairs, triangle_setup,
+    )
+
+    rng = np.random.RandomState(9)
+    h, w = 2048, 128
+    v, vi = _tall_global_scene(rng, h=h, w=w)
+
+    setup = triangle_setup(v, jnp.broadcast_to(vi[None], (1,) + vi.shape))
+    valid = _canvas_cull(setup, h, w)
+    rows = _pack_setup(setup, valid)
+    n_tx, n_ty = 1, h // 32
+    _, _, _, _, _, gcount = jax.vmap(
+        lambda r, b, vl: _segment_pairs(r, b, vl, n_tx, n_ty)
+    )(rows, setup.bbox, valid)
+    assert int(gcount[0, 0]) > 0, "scene must exercise the true global list"
+
+    assert_match(v, vi, h, w)
+
+
+def test_true_global_list_wireframe_tall_canvas():
+    from drtk_tpu.ops.rasterize_pallas import rasterize_lines_pallas
+
+    rng = np.random.RandomState(10)
+    h, w = 2048, 128
+    v, vi = _tall_global_scene(rng, n_f=10, h=h, w=w)
+    vi = _with_wire_flags(np.asarray(vi))
+    assert_lines_match(v, vi, h, w)
