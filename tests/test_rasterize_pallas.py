@@ -411,3 +411,32 @@ def test_true_global_list_wireframe_tall_canvas():
     v, vi = _tall_global_scene(rng, n_f=10, h=h, w=w)
     vi = _with_wire_flags(np.asarray(vi))
     assert_lines_match(v, vi, h, w)
+
+
+def test_sort_pairs_key_width_fallbacks():
+    """_sort_pairs picks int32 / uint32 packed keys / stable argsort by
+    problem size; all three must produce a stable by-tile order (the
+    int32 path is exercised by every other test — force the wide ones)."""
+    from drtk_tpu.ops.rasterize_pallas import _next_pow2, _sort_pairs
+
+    rng = np.random.RandomState(0)
+
+    def check(p_total, n_tiles):
+        flat = jnp.asarray(
+            rng.randint(0, n_tiles + 1, p_total).astype(np.int32)
+        )
+        tiles, pairs = _sort_pairs(flat, n_tiles)
+        tiles, pairs = np.asarray(tiles), np.asarray(pairs)
+        flat_np = np.asarray(flat)
+        assert (np.diff(tiles) >= 0).all(), "not sorted by tile"
+        assert (flat_np[pairs] == tiles).all(), "pair indices broken"
+        same = np.diff(tiles) == 0
+        assert (np.diff(pairs)[same] > 0).all(), "not stable within tile"
+        return _next_pow2(p_total) * (n_tiles + 1) + p_total
+
+    kmax32 = check(1 << 12, 100)                      # int32 path
+    assert kmax32 < 2**31
+    kmax_u32 = check(1 << 15, 80_000)                 # uint32 path
+    assert 2**31 <= kmax_u32 < 2**32
+    kmax_arg = check(1 << 15, 200_000)                # stable-argsort path
+    assert kmax_arg >= 2**32
