@@ -419,6 +419,21 @@ def main():
     import sys
 
     _init_backend()
+    if "--profile" in sys.argv[1:]:
+        # One profiled pass of a chosen config (default textured):
+        # bench.py --profile [textured|attr_fit|inverse8|avatar4k] [dir]
+        import jax
+
+        args = [a for a in sys.argv[1:] if a != "--profile"]
+        cfg = args[0] if args else "textured"
+        out_dir = args[1] if len(args) > 1 else f"/tmp/drtk_prof_{cfg}"
+        fn = {"textured": bench_textured, "attr_fit": bench_attr_fit,
+              "inverse8": bench_inverse8, "avatar4k": bench_avatar4k}[cfg]
+        fn(n_iters=1)  # compile + warm outside the trace
+        with jax.profiler.trace(out_dir):
+            fn(n_iters=2)
+        print(json.dumps({"note": "profile written", "dir": out_dir}))
+        return
     if "--scaling" in sys.argv[1:]:
         bench_scaling()
         return
