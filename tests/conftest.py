@@ -36,17 +36,17 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # ---------------------------------------------------------------------------
 
 SUITE_PARTS = {
-    # part 1: the two slowest op suites (scatter + mipmap)
+    # part 1: the two slowest op suites (scatter + mipmap) + torch parity
     1: [
         "test_grid_scatter.py",
         "test_mipmap_grid_sample.py",
         "test_grid_sample.py",
+        "test_reference_parity.py",
     ],
-    # part 2: rasterizer kernels + edge gradients + full-pipeline parity
+    # part 2: rasterizer kernels + edge gradients + convergence fits
     2: [
         "test_rasterize_pallas.py",
         "test_edge_grad.py",
-        "test_reference_parity.py",
         "test_two_triangles.py",
     ],
     # part 3: everything else (interpolate, render, msi, filter2d, sharding,
