@@ -23,8 +23,11 @@ import nbformat
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 TUTORIALS = {
+    "01_hello_triangle.py": "Tutorial_1_hello_triangle.ipynb",
     "02_optimizing_geometry.py": "Tutorial_2_optimizing_geometry.ipynb",
+    "03_geometry_intersection.py": "Tutorial_3_geometry_intersection.ipynb",
     "04_rendering_meshes.py": "Tutorial_rendering_meshes.ipynb",
+    "06_shaded_model_fitting.py": "Tutorial_shaded_model_fitting.ipynb",
 }
 
 _SECTION = re.compile(r"^# -+ ?(.*?) ?-+$")

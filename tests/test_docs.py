@@ -64,4 +64,4 @@ def test_tutorial_notebooks_valid_and_current(tmp_path):
         assert [c.source for c in nb_old.cells] == [
             c.source for c in nb_new.cells
         ], f"{name} stale — re-run `python docs/gen_notebooks.py`"
-        assert sum(c.cell_type == "code" for c in nb_new.cells) >= 3
+        assert sum(c.cell_type == "code" for c in nb_new.cells) >= 2
