@@ -249,7 +249,7 @@ def main(h: int = 256, w: int = 256, steps: int = 1200, subdiv: int = 3,
         "background": jnp.asarray([0.48, 0.42, 0.33], jnp.float32)[:, None, None],
     }
     img_gt, _ = jax.jit(forward)(params_gt)
-    save_ppm("examples/shaded_fit_target.ppm", np.asarray(img_gt[0]))
+    save_ppm("shaded_fit_target.ppm", np.asarray(img_gt[0]))
 
     # Initial guess: unit sphere, perturbed pose, gray material. A single
     # textureless view cannot pin vertex CORRESPONDENCE from scratch (any
@@ -324,7 +324,7 @@ def main(h: int = 256, w: int = 256, steps: int = 1200, subdiv: int = 3,
     print(f"fit: {steps} steps in {time.time() - t0:.1f}s")
 
     img, _ = jax.jit(forward)(params)
-    save_ppm("examples/shaded_fit_final.ppm", np.asarray(img[0]))
+    save_ppm("shaded_fit_final.ppm", np.asarray(img[0]))
 
     # Per-vertex error is gauge-free for a textureless surface (the
     # quaternion can drift while per-vertex offsets re-form the shape at
