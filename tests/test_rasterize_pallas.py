@@ -440,3 +440,19 @@ def test_sort_pairs_key_width_fallbacks():
     assert 2**31 <= kmax_u32 < 2**32
     kmax_arg = check(1 << 15, 200_000)                # stable-argsort path
     assert kmax_arg >= 2**32
+
+
+def test_supertile_partial_grid():
+    """Tile grids that don't divide evenly into supertiles (n_tx=5 -> 2
+    supertile columns, the second only 1 tile wide): binning and kernel
+    must agree on the tile->supertile mapping."""
+    h, w = 384, 640  # 12 x 5 tiles -> 3 x 2 supertiles
+    rng = np.random.RandomState(11)
+    c = rng.uniform(40, 600, (36, 2)).astype(np.float32)
+    offs = rng.uniform(-130, 130, (36, 3, 2)).astype(np.float32)
+    xy = (c[:, None] + offs).reshape(-1, 2)
+    xy[:, 1] = np.clip(xy[:, 1], -60, 440)
+    z = rng.uniform(3, 9, (108, 1)).astype(np.float32)
+    v = jnp.asarray(np.concatenate([xy, z], -1)[None])
+    vi = jnp.asarray(np.arange(108).reshape(36, 3).astype(np.int32))
+    assert_match(v, vi, h, w)
