@@ -456,3 +456,16 @@ def test_supertile_partial_grid():
     v = jnp.asarray(np.concatenate([xy, z], -1)[None])
     vi = jnp.asarray(np.arange(108).reshape(36, 3).astype(np.int32))
     assert_match(v, vi, h, w)
+
+
+def test_alternate_tile_height():
+    """tile_h is a tunable static (perf sweeps on hardware use 16/32/64);
+    every height must produce identical results — binning, supertiles and
+    the kernel pixel grid all derive from it."""
+    h, w = 128, 256
+    v, vi = _viewport_scene(h, w)
+    d32, i32 = rasterize_pallas(v, vi, h, w, interpret=True)  # default 32
+    for th in (16, 64):
+        d_t, i_t = rasterize_pallas(v, vi, h, w, interpret=True, tile_h=th)
+        np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i32))
+        np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d32))
