@@ -131,11 +131,11 @@ def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
     idx_row = idx_ref[0]  # (1, PIX)
     rows = rows_ref[0]  # (K, PIX)
     # The one-hot factor is EXACT in bf16 (0/1), so a three-term bf16 split
-    # of the rows makes the dot exact to f32 (24 mantissa bits covered;
-    # see window_accum.bf16_split3) — 3 single-pass MXU dots instead of the
-    # 6 passes Precision.HIGHEST issues for f32 x f32. A two-term split's
-    # ~2^-17 relative per-product error broke the 1e-4 parity contract on
-    # cancellation-heavy scenes.
+    # of the rows makes the dot f32-accurate to <= 4 ulp (~2.4e-7 relative;
+    # see window_accum.bf16_split3 + its pinned test) — 3 single-pass MXU
+    # dots instead of the 6 passes Precision.HIGHEST issues for f32 x f32.
+    # A two-term split's ~2^-17 relative per-product error broke the 1e-4
+    # parity contract on cancellation-heavy scenes.
     rows_terms = bf16_split3(rows)
     for c in range(cap // 128):
         ids_col = ids_ref[0, pl.ds(c * 128, 128), :]  # (128, 1)

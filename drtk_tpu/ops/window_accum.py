@@ -46,12 +46,14 @@ BLK_W = 128
 
 
 def bf16_split3(x):
-    """Split f32 ``x`` into three bf16 terms whose sum reproduces every f32
-    mantissa bit (3 x 8 explicit bits >= 24; residual < f32 ulp). Used to
-    make one-hot MXU dots exact: the 0/1 factor is exact in bf16, so
-    dot(x, onehot) == sum of three bf16 single-pass dots — half the cost of
+    """Split f32 ``x`` into three bf16 terms whose sum reproduces the f32
+    value to <= 4 f32 ulp (~2.4e-7 relative; 3 x 8 explicit bits cover the
+    24-bit mantissa up to rounding-boundary effects — measured max 3.9 ulp,
+    pinned by tests/test_window_accum.py). Used to make one-hot MXU dots
+    f32-accurate: the 0/1 factor is exact in bf16, so dot(x, onehot) ==
+    sum of three bf16 single-pass dots — half the cost of
     Precision.HIGHEST's 6 passes and, unlike a two-term split (~2^-17
-    relative), indistinguishable from an f32 scatter-add."""
+    relative), ~400x inside the 1e-4 reference-parity contract."""
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
@@ -159,8 +161,8 @@ def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
         ccol = ccol_ref[0]  # (1, B)
         b = rows.shape[-1]
         # The one-hot factor is EXACT in bf16 (0/1), so the product is
-        # exact once the rows are split into bf16 terms covering the full
-        # f32 mantissa: 3 x 8 explicit bits >= 24, residual < f32 ulp.
+        # f32-accurate (<= 4 ulp, ~2.4e-7 rel) once the rows are split
+        # into three bf16 terms covering the f32 mantissa (bf16_split3).
         # (A two-term split leaves ~2^-17 relative per product, which
         # showed up as ~1e-4 after cancellation — past the exact-scatter
         # parity contract.) 3 single-pass MXU dots per slab, still half

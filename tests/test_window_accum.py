@@ -105,3 +105,40 @@ def test_padding_of_tap_count():
     np.testing.assert_allclose(
         np.asarray(out), _ref(rows, iy, ix, H, W), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bf16_split3_reconstructs_f32_exactly():
+    """Pin the accuracy claim (ADVICE r2): three bf16 terms cover the f32
+    mantissa up to rounding-boundary effects — (a) their sum reconstructs
+    x to <= 4 f32 ulp (~2.4e-7 relative; measured max 3.9), and (b) a
+    one-hot dot through the split matches the f32 dot to f32 rounding —
+    the property segment_rows/window_accum build on. (The two-term
+    split's ~2^-17 relative error broke the 1e-4 parity contract; this
+    pins the three-term margin at ~400x inside it.)"""
+    from drtk_tpu.ops.window_accum import bf16_split3
+
+    rng = np.random.RandomState(0)
+    x = np.concatenate([
+        rng.randn(4096).astype(np.float32) * 10.0**rng.randint(-30, 30, 4096),
+        np.array([0.0, -0.0, 1.0, -1.0, np.float32(2**-126),
+                  np.finfo(np.float32).max / 4], np.float32),
+    ])
+    hi, mid, lo = bf16_split3(jnp.asarray(x))
+    recon = (hi.astype(jnp.float32) + mid.astype(jnp.float32)
+             + lo.astype(jnp.float32))
+    err = np.abs(np.asarray(recon) - x)
+    ulp = np.spacing(np.abs(x).astype(np.float32))
+    assert (err <= 4 * ulp).all(), (
+        f"max {np.max(err / np.maximum(ulp, 1e-45))} ulp"
+    )
+
+    # one-hot dot exactness: sum over a masked subset == f32 scatter result
+    vals = rng.randn(512).astype(np.float32)
+    onehot = (rng.rand(512) < 0.3).astype(np.float32)
+    want = np.dot(vals.astype(np.float64), onehot).astype(np.float32)
+    h, m, l = (np.asarray(t).astype(np.float32) for t in
+               bf16_split3(jnp.asarray(vals)))
+    got = np.float32(0.0)
+    for term in (h, m, l):
+        got += np.dot(term.astype(np.float64), onehot).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-7, atol=0)
