@@ -195,3 +195,56 @@ def test_sharded_f64_grads_bit_tight():
         g8, g1 = np.asarray(g8), np.asarray(g1)
         scale = max(np.abs(g1).max(), 1e-6)
         np.testing.assert_allclose(g8, g1, rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_mipmap_grid_sample_shard_map_grads():
+    """mipmap_grid_sample inside shard_map (batch over 'data', pyramid
+    replicated): exercises _quad_rows_gather_bwd's varying branch — the
+    dtype-preserving scatter + psum_cotangent of the replicated pyramid's
+    gradient. Must match single-device gradients."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    shard_map = jax.shard_map
+    rng = np.random.RandomState(2)
+    batch, h, w = 4, 16, 16
+    levels = [
+        jnp.asarray(rng.rand(batch, 3, 32 >> i, 32 >> i).astype(np.float32))
+        for i in range(3)
+    ]
+    grid = jnp.asarray(
+        rng.uniform(-0.9, 0.9, (batch, h, w, 2)).astype(np.float32)
+    )
+    dxdy = jnp.full((batch, h, w, 2, 2), 0.06, jnp.float32)
+    weight = jnp.asarray(rng.randn(batch, 3, h, w).astype(np.float32))
+
+    def loss(levels, grid):
+        out = dt.mipmap_grid_sample(
+            levels, grid, dxdy, max_aniso=2, padding_mode="border"
+        )
+        return jnp.sum(out * weight)
+
+    g1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(levels, grid)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    def block(levels, grid, wgt):
+        out = dt.mipmap_grid_sample(
+            list(levels), grid, dxdy[:1], max_aniso=2, padding_mode="border"
+        )
+        return jnp.sum(out * wgt, axis=(1, 2, 3))  # [local_batch]
+
+    def sharded_loss(levels, grid):
+        per = shard_map(
+            block, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+        )(tuple(levels), grid, weight)
+        return jnp.sum(per)
+
+    g4 = jax.jit(jax.grad(sharded_loss, argnums=(0, 1)))(levels, grid)
+    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
