@@ -437,13 +437,23 @@ def main():
     if "--scaling" in sys.argv[1:]:
         bench_scaling()
         return
+    fns = {"textured": bench_textured, "attr_fit": bench_attr_fit,
+           "inverse8": bench_inverse8, "avatar4k": bench_avatar4k}
+    if "--one" in sys.argv[1:]:
+        # bench.py --one <config>: run exactly one matrix config.
+        cfg = sys.argv[sys.argv.index("--one") + 1]
+        fns[cfg]()
+        return
     if "--all" in sys.argv[1:]:
-        records = [
-            bench_textured(),
-            bench_attr_fit(),
-            bench_inverse8(),
-            bench_avatar4k(),
-        ]
+        # One failed config (OOM, tunnel drop) must not erase the others'
+        # evidence: record the error and keep going.
+        records = []
+        for name, fn in fns.items():
+            try:
+                records.append(fn())
+            except Exception as e:  # noqa: BLE001
+                records.append({"config": name, "error": repr(e)[:300]})
+                print(json.dumps(records[-1]), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(records, f, indent=1)
     else:
