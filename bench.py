@@ -441,7 +441,10 @@ def main():
            "inverse8": bench_inverse8, "avatar4k": bench_avatar4k}
     if "--one" in sys.argv[1:]:
         # bench.py --one <config>: run exactly one matrix config.
-        cfg = sys.argv[sys.argv.index("--one") + 1]
+        pos = sys.argv.index("--one") + 1
+        cfg = sys.argv[pos] if pos < len(sys.argv) else None
+        if cfg not in fns:
+            sys.exit(f"--one expects one of {sorted(fns)} (got {cfg!r})")
         fns[cfg]()
         return
     if "--all" in sys.argv[1:]:

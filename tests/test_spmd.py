@@ -139,6 +139,104 @@ def test_wireframe_tile_viewport():
     )
 
 
+def _collective_inventory(hlo_text):
+    """Parse (op, result_shapes) for every collective in optimized HLO.
+
+    Returns a list of (opname, [shape_str, ...]) where shape_str is like
+    'f32[1,3,1,96]'. Tuple-shaped results are split into their elements.
+    """
+    import re
+
+    ops = []
+    pat = re.compile(
+        r"=\s*(\([^)]*\)|\S+)\s+"
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|"
+        r"all-to-all)\b"
+    )
+    for line in hlo_text.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        shapes = re.findall(r"[a-z0-9]+\[[0-9,]*\]", m.group(1))
+        ops.append((m.group(2), shapes))
+    return ops
+
+
+def _shape_bytes(shape_str):
+    import re
+
+    m = re.match(r"([a-z]+)(\d+)\[([0-9,]*)\]", shape_str)
+    bits = int(m.group(2))
+    dims = [int(d) for d in m.group(3).split(",") if d] or [1]
+    n = 1
+    for d in dims:
+        n *= d
+    return n * bits // 8
+
+
+def test_collective_inventory_of_sharded_backward():
+    """Pin the communication structure of the row-sharded training step
+    (VERDICT r3 #5): the scaling claim must be falsifiable without multi-
+    chip hardware. In the optimized HLO of value_and_grad over the
+    shard_map pipeline on the 8-device mesh:
+
+    * collective-permutes exist only for the edge_grad halo exchange — one
+      row of img / grad_output / bary / index each, so every transferred
+      block is <= one pixel row (tiny vs the frame);
+    * all-reduces (shard_map's transpose psums) carry only vertex /
+      uv / texture gradients — never a pixel-area buffer;
+    * no all-gather or all-to-all materializes a pixel-area buffer.
+
+    Bit-exact *values* are pinned by the parity tests above; this test pins
+    the *structure* so a refactor that silently inserts an all-gather of
+    the frame (killing scaling) fails loudly.
+    """
+    _require_devices(8)
+    h = w = 96
+    v, vi, vt, tex, weight = _scene(1, h, w)
+    mesh = make_mesh(8, batch=1)
+    fwd = make_row_sharded_forward(mesh, vi, h, w)
+    loss = lambda v, vt, tex: jnp.sum(fwd(v, vt, tex) * weight)
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    hlo = step.lower(v, vt, tex).compile().as_text()
+    inv = _collective_inventory(hlo)
+
+    halo_row_bytes = 1 * 3 * 1 * w * 4  # [N=1, C=3, 1 row, W] f32
+    # Largest legitimate reduce operand: the texture cotangent travels in
+    # grid_sample's quad-table layout ([N, Ht*Wt, 4C] — 4x the texture) so
+    # the replicated-input psum happens before the un-quadding gather.
+    grad_bytes = max(
+        v.size * v.dtype.itemsize,
+        vt.size * vt.dtype.itemsize,
+        4 * tex.size * tex.dtype.itemsize,
+    )
+    pixel_area_bytes = h * w * 4 // 8  # even 1/8 of a channel plane is a bug
+
+    permutes = [s for op, shapes in inv if op == "collective-permute"
+                for s in shapes]
+    reduces = [s for op, shapes in inv if op in ("all-reduce",
+                                                 "reduce-scatter")
+               for s in shapes]
+    gathers = [s for op, shapes in inv if op in ("all-gather", "all-to-all")
+               for s in shapes]
+
+    assert permutes, "halo exchange missing from the backward HLO"
+    for s in permutes:
+        assert _shape_bytes(s) <= halo_row_bytes, (
+            f"collective-permute moves {s} — more than one halo row"
+        )
+    assert reduces, "gradient psum missing from the backward HLO"
+    for s in reduces:
+        assert _shape_bytes(s) <= grad_bytes, (
+            f"all-reduce carries {s} — larger than any gradient operand"
+        )
+    for s in gathers:
+        assert _shape_bytes(s) < pixel_area_bytes, (
+            f"all-gather/all-to-all materializes {s} — pixel-scale "
+            "replication would kill scaling"
+        )
+
+
 def test_random_scene_sweep_and_index_parity():
     """Random overlapping-triangle scene (harder than the curated scenes
     above): the sharded pipeline must keep (a) index/bary-driven coverage
