@@ -780,16 +780,13 @@ def _lines_tile_kernel(
                 (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & ke0 & ke1 & ke2
             )
 
-            crossing = jnp.zeros_like(inside)
-            crossing = jnp.where(
-                vis0, crossing | diamond_cross(p0x, p0y, p1x, p1y), crossing
-            )
-            crossing = jnp.where(
-                vis1, crossing | diamond_cross(p1x, p1y, p2x, p2y), crossing
-            )
-            crossing = jnp.where(
-                vis2, crossing | diamond_cross(p0x, p0y, p2x, p2y), crossing
-            )
+            # Mask with & rather than jnp.where: a select on i1 vectors is
+            # an arith.select Mosaic cannot legalize (found by
+            # bench.py --parity on the real compiler — interpret mode
+            # accepts it silently).
+            crossing = diamond_cross(p0x, p0y, p1x, p1y) & vis0
+            crossing |= diamond_cross(p1x, p1y, p2x, p2y) & vis1
+            crossing |= diamond_cross(p0x, p0y, p2x, p2y) & vis2
 
             write = (inside | crossing) & border_ok & live
 

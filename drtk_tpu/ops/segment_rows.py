@@ -141,12 +141,17 @@ def _accumulate_kernel(rows_ref, idx_ref, ids_ref, out_ref, *, cap, k_dim):
         ids_col = ids_ref[0, pl.ds(c * 128, 128), :]  # (128, 1)
         onehot = (ids_col == idx_row).astype(jnp.bfloat16)  # [128, PIX]
         dims = (((1,), (1,)), ((), ()))
+        # precision pinned: an ambient default_matmul_precision("highest")
+        # would stamp an fp32 contract precision Mosaic rejects for bf16
+        # operands ("Bad lhs type"); DEFAULT is exact here (bf16 products
+        # vs an exact 0/1 factor, f32 accumulate).
         out_ref[0, :, pl.ds(c * 128, 128)] = sum(
             jax.lax.dot_general(
                 rt,
                 onehot,
                 dimension_numbers=dims,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             for rt in rows_terms
         )
@@ -202,9 +207,6 @@ def _binned_partials(rows_img, index_img, bin_ids_masked, n_ty, n_tx, cap,
     )(rows_t, idx_t, bin_ids_masked[:, :, None])
 
 
-_TAB_W = 512  # face-table row width for the windowed partials reduction
-
-
 def scatter_rows_to_faces(
     rows: jnp.ndarray,
     index_img: jnp.ndarray,
@@ -233,6 +235,26 @@ def scatter_rows_to_faces(
     f_cnt = vi.shape[1]
     k_dim = rows.shape[-1]
 
+    def _plain_scatter(ids_flat, vals_flat, dtype):
+        """K-batched 1-D scatters, [N, P] ids + [N, P, K] vals -> [N, F, K].
+
+        NOT a [P, K] row scatter: that layout's minor K dim gets
+        (8, 128)-lane-padded in HBM (K=9 -> 128 is a 14x expansion — an
+        8 GB temp at 4K frames, allocated even when a surrounding
+        lax.cond takes the other branch). Batching the K channels on the
+        sublane axis instead puts the big P/F axes minor: zero padding.
+        """
+        vals_t = jnp.moveaxis(vals_flat, -1, 1)  # [N, K, P]
+
+        def one(ids_b, vals_b):
+            return jax.vmap(
+                lambda col: jnp.zeros((f_cnt,), dtype).at[ids_b].add(
+                    col, mode="promise_in_bounds"
+                )
+            )(vals_b.astype(dtype))
+
+        return jnp.moveaxis(jax.vmap(one)(ids_flat, vals_t), 1, -1)
+
     def _varying(x):
         try:
             return bool(jax.typeof(x).vma)
@@ -246,11 +268,7 @@ def scatter_rows_to_faces(
         # while v is global geometry — the full-frame tile binning would be
         # misaligned, so use the plain scatter there too.
         safe = jnp.maximum(index_img, 0).reshape(n, -1)
-
-        def one(ids, vals):
-            return jnp.zeros((f_cnt, k_dim), rows.dtype).at[ids].add(vals)
-
-        return jax.vmap(one)(safe, rows.reshape(n, -1, k_dim))
+        return _plain_scatter(safe, rows.reshape(n, -1, k_dim), rows.dtype)
 
     del v  # index-derived bins need no geometry
     n_ty = -(-h // TILE_H)
@@ -265,46 +283,27 @@ def scatter_rows_to_faces(
     # batch 8). If any element trips the fallback condition, the whole
     # batch takes the plain scatter; mixed batches are pathological scenes.
     def fast(args):
-        from drtk_tpu.ops.window_accum import window_accumulate
-
         rows_a, idx_a, bins_a = args
         partials = jax.vmap(
             lambda r, i, bn: _binned_partials(
                 r, i, bn, n_ty, n_tx, cap, interpret
             )
         )(rows_a, idx_a, bins_a)  # [N, T, K, CAP]
-        n_tiles = partials.shape[1]
-        # Partials -> face table, windowed: view [F, K] as K x (F/512 x 512)
-        # and accumulate each tile's CAP slots as one spatially-coherent
-        # block (its ids come from a handful of 32-wide ranges). This
-        # replaces a T*CAP-row sorted scatter — 2M rows at 4K frames.
-        pk = jnp.moveaxis(partials, 2, 1).reshape(n, k_dim, -1)  # [N,K,T*CAP]
-        live = bins_a >= 0
-        iy_p = jnp.where(live, bins_a // _TAB_W, -1).reshape(n, -1)
-        ix_p = jnp.where(live, bins_a % _TAB_W, 0).reshape(n, -1)
-        tab_rows = -(-f_cnt // _TAB_W)
-        hf = max(48, -(-tab_rows // 8) * 8)
-        acc = window_accumulate(
-            pk, iy_p, ix_p, hf, _TAB_W, block=cap, win_h=48, win_w=512,
-            interpret=interpret,
-        )  # [N, K, hf, 512]
-        out = acc.reshape(n, k_dim, hf * _TAB_W)[:, :, :f_cnt]
-        return jnp.moveaxis(out, 1, -1)
+        # Partials -> face table: scatter of T*CAP K-slot entries (~8x
+        # fewer than pixels), K-batched on sublanes (see _plain_scatter's
+        # layout rationale). Empty bin slots (-2) produce all-zero
+        # partials (the one-hot never matches them), so clamping them to
+        # face 0 adds zeros.
+        rows_p = jnp.moveaxis(partials, 2, -1).reshape(n, -1, k_dim)
+        flat_ids = jnp.maximum(bins_a.reshape(n, -1), 0)
+        return _plain_scatter(flat_ids, rows_p, jnp.float32)
 
     def slow(args):
         rows_a, _, _ = args
-
-        def one(ids, vals):
-            return (
-                jnp.zeros((f_cnt, k_dim), jnp.float32)
-                .at[ids.reshape(-1)]
-                .add(
-                    vals.reshape(-1, k_dim).astype(jnp.float32),
-                    mode="promise_in_bounds",
-                )
-            )
-
-        return jax.vmap(one)(safe_idx, rows_a)
+        return _plain_scatter(
+            safe_idx.reshape(n, -1), rows_a.reshape(n, -1, k_dim),
+            jnp.float32,
+        )
 
     out = jax.lax.cond(
         jnp.all(fast_ok), fast, slow, (rows, index_img, bins_masked)

@@ -201,10 +201,14 @@ def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
                         )
                         onehot = (ids == ccol).astype(jnp.bfloat16)  # (128,B)
                         dims = (((1,), (1,)), ((), ()))
+                        # precision pinned (see segment_rows._tile_kernel):
+                        # ambient "highest" would stamp an fp32 contract
+                        # precision Mosaic rejects for bf16 operands.
                         part = sum(
                             jax.lax.dot_general(
                                 lhs, onehot, dimension_numbers=dims,
                                 preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
                             )
                             for lhs in lhs_terms
                         )

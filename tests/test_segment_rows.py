@@ -98,3 +98,15 @@ def test_range_bins_residual_fallback():
     out = scatter_rows_to_faces(rows, index_img, None, vi, interpret=True)
     ref = plain_scatter(rows, index_img, f_cnt)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ambient_highest_precision_context():
+    """The kernel's bf16 dots pin precision=DEFAULT explicitly: an ambient
+    default_matmul_precision("highest") would otherwise stamp an fp32
+    contract precision on bf16 operands, which Mosaic rejects ("Bad lhs
+    type") on the real TPU compiler. Interpret mode can't see the Mosaic
+    legalization, but this pins that the path runs and stays exact under
+    the ambient context (found by bench.py --parity, round 4)."""
+    v, vi = grid_mesh(h=96, w=160, gn=8)
+    with jax.default_matmul_precision("highest"):
+        run_case(v, vi, 96, 160, seed=3)
