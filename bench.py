@@ -28,6 +28,7 @@ fit. We normalize against a 30 it/s @ 512x512 interactive-fit contract
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -374,6 +375,363 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
     )
 
 
+def _parity_scenes():
+    """Fuzz scenes mirroring tests/test_rasterize_pallas.py's coverage
+    classes — here executed with the REAL Mosaic compiler on the TPU
+    (the suite runs them under interpret mode on CPU only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.utils import random_mesh, two_triangles_scene
+
+    rng = np.random.RandomState(3)
+    scenes = []
+    v, vi, _ = two_triangles_scene(h=128, w=256)
+    scenes.append(("two_triangles", v, vi, 128, 256))
+    for seed in range(4):
+        v, vi = random_mesh(
+            jax.random.PRNGKey(100 + seed), n=1, num_v=40 + 7 * seed,
+            num_f=50 + 11 * seed, h=64, w=128, zmin=2.0 + 0.5 * seed,
+        )
+        scenes.append((f"fuzz{seed}", v, vi, 64, 128))
+    v, vi = random_mesh(jax.random.PRNGKey(1), n=3, num_v=64, num_f=96,
+                        h=64, w=128)
+    scenes.append(("batched", v, vi, 64, 128))
+    v, vi = random_mesh(jax.random.PRNGKey(2), n=1, num_v=48, num_f=64,
+                        h=70, w=130)
+    scenes.append(("nonaligned", v, vi, 70, 130))
+    # supertile tier: triangles covering most of a 256^2 canvas
+    xy = rng.uniform(-0.5, 1.5, (1, 30, 2)).astype(np.float32) * [256, 256]
+    z = rng.uniform(2.0, 8.0, (1, 30, 1)).astype(np.float32)
+    scenes.append((
+        "supertile", jnp.asarray(np.concatenate([xy, z], -1)),
+        jnp.asarray(rng.randint(0, 30, (40, 3)).astype(np.int32)), 256, 256,
+    ))
+    # true global list: tall canvas, full-canvas triangles
+    xy = rng.uniform(-0.3, 1.3, (1, 24, 2)).astype(np.float32) * [128, 2048]
+    z = rng.uniform(2.0, 8.0, (1, 24, 1)).astype(np.float32)
+    scenes.append((
+        "tall_global", jnp.asarray(np.concatenate([xy, z], -1)),
+        jnp.asarray(rng.randint(0, 24, (16, 3)).astype(np.int32)), 2048, 128,
+    ))
+    # bin overflow: hundreds of tiny triangles in one tile
+    centers = rng.uniform([10, 10], [60, 24], (600, 2)).astype(np.float32)
+    offs = rng.uniform(-2, 2, (600, 3, 2)).astype(np.float32)
+    pts = (centers[:, None] + offs).reshape(-1, 2)
+    zz = rng.uniform(2, 9, (pts.shape[0], 1)).astype(np.float32)
+    scenes.append((
+        "overflow", jnp.asarray(np.concatenate([pts, zz], -1)[None]),
+        jnp.asarray(np.arange(1800, dtype=np.int32).reshape(600, 3)), 64, 128,
+    ))
+    # degenerate padding + near-plane culls
+    v, vi = random_mesh(jax.random.PRNGKey(5), n=1, num_v=32, num_f=48,
+                        h=64, w=128)
+    vi = np.array(vi)
+    vi[:8] = 0
+    v = np.array(v)
+    v[0, 1:5, 2] = -1.0
+    scenes.append(("degenerate", jnp.asarray(v), jnp.asarray(vi), 64, 128))
+    return scenes
+
+
+def _parity_compare(name, d_ref, i_ref, d_pal, i_pal):
+    """Apply the Pallas/XLA parity contract (CLAUDE.md invariants): index
+    winners may flip only at (near-)equal-depth interpenetrations, depth
+    agrees to 1e-4 relative."""
+    i_ref = np.asarray(i_ref)
+    i_pal = np.asarray(i_pal)
+    d_ref = np.asarray(d_ref)
+    d_pal = np.asarray(d_pal)
+    mism = i_ref != i_pal
+    near_tie = np.abs(d_ref - d_pal) <= 1e-4 * np.abs(d_ref) + 1e-6
+    denom = np.maximum(np.abs(d_ref), 1e-6)
+    rec = {
+        "scene": name,
+        "pixels": int(i_ref.size),
+        "covered": int((i_ref != -1).sum()),
+        "index_mismatches": int(mism.sum()),
+        "mismatches_all_at_depth_ties": bool(near_tie[mism].all())
+        if mism.any() else True,
+        "max_depth_rel_diff": float((np.abs(d_ref - d_pal) / denom).max()),
+    }
+    rec["ok"] = (
+        rec["mismatches_all_at_depth_ties"]
+        and rec["index_mismatches"] <= 1e-3 * rec["pixels"]
+        and rec["max_depth_rel_diff"] <= 1e-4 + 1e-6
+    )
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _grad_case_textured(idx_fixed=None):
+    """Full textured pipeline (render+interpolate+grid_sample+edge_grad)
+    value_and_grad on a grid mesh — the cross-compiler gradient probe.
+    Deterministic scene so the TPU process and the CPU subprocess rebuild
+    identical inputs.
+
+    ``idx_fixed``: precomputed index image to use instead of rasterizing.
+    The TPU half rasterizes and exports its index image; the CPU half
+    consumes it. Rationale: at exact depth ties (the grid mesh's shared
+    quad diagonals) FMA contraction legitimately flips the winning face
+    between compilers (the documented rasterizer parity contract), and a
+    handful of flipped pixels re-attribute edge_grad/render gradient mass
+    between adjacent faces — a discrete, contract-permitted difference,
+    not a gradient bug. Fixing the index image compares the DIFFERENTIABLE
+    math on identical discrete structure; rasterizer forward parity is
+    covered separately by the scene matrix above (and idx itself carries
+    no gradient: /root/reference/drtk/rasterize.py returns int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    import drtk_tpu as dt
+    from drtk_tpu.ops.grid_sample import grid_sample
+    from tests.utils import grid_mesh
+
+    h = w = 128
+    v, vi = grid_mesh(h, w, gn=7, z0=5.0, z_amp=2.0, seed=5)
+    rng = np.random.RandomState(7)
+    # Jitter x/y: grid_mesh's regular spacing makes its quad diagonals
+    # exactly 45 deg, so whole FAMILIES of pixels share one near-zero
+    # edge-function value and edge_grad's discrete overlap/adjacent
+    # classification (b >= 0 in _pix_in_tri) flips for the entire family
+    # under cross-compiler FMA-contraction noise (measured 2e-2 on grad_v;
+    # every continuous stage agrees to ~1e-6). Jitter puts classification
+    # boundaries in general position — the probe then compares continuous
+    # gradient math, which is what it is for.
+    v = v + jnp.asarray(rng.uniform(-0.4, 0.4, v.shape).astype(np.float32))
+    vt = jnp.asarray(rng.rand(1, v.shape[1], 2).astype(np.float32))
+    tex = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    weight = jnp.asarray(rng.randn(1, 3, h, w).astype(np.float32))
+
+    idx = (
+        jnp.asarray(idx_fixed)
+        if idx_fixed is not None
+        else jax.jit(lambda v: dt.rasterize(v, vi, h, w))(v)
+    )
+
+    def loss(v, vt, tex):
+        _, bary = dt.render(v, vi, idx)
+        vt_img = dt.interpolate(vt, vi, idx, bary)
+        uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
+        img = grid_sample(tex, uv, mode="bilinear", padding_mode="border")
+        img = img * (idx != -1)[:, None]
+        img = dt.edge_grad_estimator(
+            v_pix=v, vi=vi, bary_img=bary, img=img, index_img=idx
+        )
+        return jnp.sum(img * weight)
+
+    val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+        v, vt, tex
+    )
+    return {
+        "loss": np.asarray(val),
+        "idx": np.asarray(idx),
+        "grad_v": np.asarray(grads[0]),
+        "grad_vt": np.asarray(grads[1]),
+        "grad_tex": np.asarray(grads[2]),
+    }
+
+
+def bench_parity(out_path="PARITY_TPU.json"):
+    """On-TPU parity evidence (VERDICT r3 #4).
+
+    The test suite validates every Pallas kernel under *interpret mode on
+    CPU*; this mode reruns the rasterizer parity matrix with the real
+    Mosaic compiler on the chip and cross-checks full-pipeline f32
+    gradients TPU-vs-CPU (the CPU lowering is itself pinned to the float64
+    oracles by tests/). Writes PARITY_TPU.json; exits nonzero on any
+    contract violation. Reference analogue: the CPU kernels double as
+    CUDA cross-checks (src/rasterize/rasterize_kernel_cpu.cpp:73-192)."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from drtk_tpu.ops.rasterize import _rasterize_lines_impl, _rasterize_xla
+    from drtk_tpu.ops.rasterize_pallas import (
+        rasterize_lines_pallas, rasterize_pallas,
+    )
+
+    platform = jax.devices()[0].platform
+    records = {"platform": platform, "scenes": [], "wireframe": [],
+               "grads": []}
+
+    for name, v, vi, h, w in _parity_scenes():
+        vi_b = (
+            jnp.broadcast_to(vi[None], (v.shape[0],) + vi.shape)
+            if vi.ndim == 2 else vi
+        )
+        d_ref, i_ref = jax.jit(
+            lambda v, vi, h=h, w=w: _rasterize_xla(v, vi, h, w)
+        )(v.astype(jnp.float32), vi_b)
+        d_pal, i_pal = rasterize_pallas(v.astype(jnp.float32), vi_b, h, w)
+        records["scenes"].append(
+            _parity_compare(name, d_ref, i_ref, d_pal, i_pal)
+        )
+
+    # Wireframe (diamond-exit) kernel on two scene classes.
+    from tests.utils import random_mesh, two_triangles_scene
+
+    for name, (v, vi) in {
+        "wf_two_triangles": two_triangles_scene(h=128, w=256)[:2],
+        "wf_random": random_mesh(jax.random.PRNGKey(9), n=1, num_v=48,
+                                 num_f=64, h=96, w=160),
+    }.items():
+        h, w = (128, 256) if name == "wf_two_triangles" else (96, 160)
+        vi_wf = vi.at[:, 0].set(vi[:, 0] | (0x7 << 28))
+        vi_b = jnp.broadcast_to(vi_wf[None], (v.shape[0],) + vi_wf.shape)
+        d_ref, i_ref = jax.jit(
+            lambda v, vi, h=h, w=w: _rasterize_lines_impl(v, vi, h, w)
+        )(v.astype(jnp.float32), vi_b)
+        d_pal, i_pal = rasterize_lines_pallas(
+            v.astype(jnp.float32), vi_b, h, w
+        )
+        records["wireframe"].append(
+            _parity_compare(name, d_ref, i_ref, d_pal, i_pal)
+        )
+
+    # Cross-compiler gradient probe: TPU f32 vs CPU f32 (subprocess — the
+    # axon profile pins JAX_PLATFORMS=tpu-only in this process). The TPU
+    # half rasterizes; its index image is shipped to the CPU half so both
+    # differentiate over the same discrete structure (see
+    # _grad_case_textured's docstring for why).
+    tpu_g = _grad_case_textured()
+    np.savez("/tmp/drtk_parity_tpu_grads.npz", **tpu_g)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, __file__, "--parity-cpu-grads",
+         "/tmp/drtk_parity_cpu_grads.npz",
+         "/tmp/drtk_parity_tpu_grads.npz"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"CPU grad subprocess failed: {out.stderr[-800:]}")
+    cpu_g = np.load("/tmp/drtk_parity_cpu_grads.npz")
+    for k in ["grad_v", "grad_vt", "grad_tex"]:
+        a, b = tpu_g[k], cpu_g[k]
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = float(np.abs(a - b).max() / scale)
+        rec = {"tensor": k, "max_rel_diff_tpu_vs_cpu": rel,
+               "ok": rel <= 2e-3}
+        records["grads"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    records["ok"] = all(
+        r["ok"] for part in ["scenes", "wireframe", "grads"]
+        for r in records[part]
+    )
+    with open(out_path, "w") as f:
+        json.dump(records, f, indent=1)
+    print(json.dumps({"note": "parity artifact written", "path": out_path,
+                      "ok": records["ok"]}), flush=True)
+    if not records["ok"]:
+        raise SystemExit("on-TPU parity contract violated — see " + out_path)
+
+
+def bench_fit(mode="full", steps=2000, out_path="FIT_TPU.json"):
+    """The reference's canonical two-triangles fit, on chip
+    (test/two_triangles.py:62-86 semantics): 512x512, 16x16 two-tone
+    texture, vertices perturbed by seeded noise, 2000 Adam(1e-1) steps of
+    image MSE through the full pipeline incl. edge_grad_estimator.
+
+    ``mode``: 'full' (all axes; reference default), 'xy' (z grads masked,
+    two_triangles.py:82-83), 'z' (xy grads masked, :84-85). Unlike the
+    reference — which perturbs all axes regardless — noise is applied only
+    to the optimized axes so "final vertex error" measures convergence of
+    this mode rather than the frozen residual. Emits steps/s + final error
+    and appends to FIT_TPU.json."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import drtk_tpu as dt
+    from drtk_tpu.ops.grid_sample import grid_sample
+    from tests.utils import two_triangles_scene
+
+    h = w = 512
+    v_gt, vi, vt = two_triangles_scene(h, w)
+    tex = np.ones((1, 3, 16, 16), np.float32)
+    tex[:, :, :, 8:] = 0.5
+    tex = jnp.asarray(tex)
+
+    rng = np.random.RandomState(10)
+    noise = rng.randn(*v_gt.shape).astype(np.float32) * 20.0
+    axis_mask = {"full": [1, 1, 1], "xy": [1, 1, 0], "z": [0, 0, 1]}[mode]
+    axis_mask = jnp.asarray(axis_mask, jnp.float32)
+    v0 = v_gt + jnp.asarray(noise) * axis_mask
+
+    def forward(v):
+        idx = dt.rasterize(v, vi, h, w)
+        _, bary = dt.render(v, vi, idx)
+        vt_img = dt.interpolate(vt, vi, idx, bary)
+        uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
+        img = grid_sample(tex, uv, mode="bilinear", padding_mode="border")
+        img = img * (idx != -1)[:, None]
+        return dt.edge_grad_estimator(
+            v_pix=v, vi=vi, bary_img=bary, img=img, index_img=idx
+        )
+
+    img_gt = jax.jit(forward)(v_gt)
+    opt = optax.adam(1e-1)
+
+    def one_step(carry, _):
+        v, opt_state = carry
+        loss, g = jax.value_and_grad(
+            lambda v: jnp.mean((forward(v) - img_gt) ** 2)
+        )(v)
+        g = g * axis_mask
+        updates, opt_state = opt.update(g, opt_state)
+        return (optax.apply_updates(v, updates), opt_state), loss
+
+    chunk = 100
+
+    @jax.jit
+    def run_chunk(carry):
+        return jax.lax.scan(one_step, carry, None, length=chunk)
+
+    carry = (v0, opt.init(v0))
+    carry, _ = run_chunk(carry)  # compile + first chunk
+    jax.block_until_ready(carry[0])
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(steps // chunk - 1):
+        carry, ls = run_chunk(carry)
+        losses.append(ls)
+    jax.block_until_ready(carry[0])
+    dt_s = time.perf_counter() - t0
+    v_fit = carry[0]
+
+    err = np.abs(np.asarray(v_fit - v_gt))[0]
+    err_opt = float((err * np.asarray(axis_mask)).max())
+    final_loss = float(np.asarray(losses[-1][-1]))
+    # xy converges in vertex space; z / full retain residual vertex error
+    # in image-unobservable directions (z slides freely away from the
+    # penetration line — gauge freedom), so those modes converge in IMAGE
+    # space: the reference's own success criterion is the loss trace.
+    converged = bool(err_opt < 1.0) or bool(final_loss < 1e-3)
+    rec = {
+        "metric": f"fit_{mode}: two-triangles 2000-step Adam fit "
+        f"(512x512, reference recipe, {mode} axes)",
+        "value": round((steps - chunk) / dt_s, 2),
+        "unit": "steps/s",
+        "final_max_vertex_error_px": round(err_opt, 3),
+        "final_loss": final_loss,
+        "converged": converged,
+        "vs_baseline": round((steps - chunk) / dt_s / 30.0, 3),
+    }
+    print(json.dumps(rec), flush=True)
+    try:
+        with open(out_path) as f:
+            all_recs = json.load(f)
+    except (OSError, ValueError):
+        all_recs = {}
+    all_recs[mode] = rec
+    with open(out_path, "w") as f:
+        json.dump(all_recs, f, indent=1)
+    return rec
+
+
 def bench_scaling(n_iters=10, h=1024, gn=161):
     """Pixel-throughput scaling over the available devices (BASELINE.md:
     >=80% linear scaling target). Runs the explicit-SPMD row-sharded
@@ -418,7 +776,35 @@ def bench_scaling(n_iters=10, h=1024, gn=161):
 def main():
     import sys
 
+    if "--parity-cpu-grads" in sys.argv[1:]:
+        # Internal: CPU half of the parity gradient probe. The axon site
+        # hook overrides the JAX_PLATFORMS env var, so CPU must be forced
+        # via config here (CLAUDE.md environment rules).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
+        pos = sys.argv.index("--parity-cpu-grads")
+        out, tpu_npz = sys.argv[pos + 1], sys.argv[pos + 2]
+        idx_fixed = np.load(tpu_npz)["idx"]
+        np.savez(out, **_grad_case_textured(idx_fixed=idx_fixed))
+        return
+
     _init_backend()
+    if "--parity" in sys.argv[1:]:
+        bench_parity()
+        return
+    if "--fit" in sys.argv[1:]:
+        pos = sys.argv.index("--fit") + 1
+        mode = (
+            sys.argv[pos]
+            if pos < len(sys.argv) and not sys.argv[pos].startswith("-")
+            else "full"
+        )
+        if mode not in ("full", "xy", "z"):
+            sys.exit(f"--fit expects full|xy|z (got {mode!r})")
+        bench_fit(mode)
+        return
     if "--profile" in sys.argv[1:]:
         # One profiled pass of a chosen config (default textured):
         # bench.py --profile [textured|attr_fit|inverse8|avatar4k] [dir]
