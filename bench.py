@@ -110,19 +110,46 @@ def make_scene(h, w, gn, seed=0):
     return v, vi, vt, tex
 
 
-def _time_step(step, args, n_iters, warmup=1):
+def _fetch_scalar(tree):
+    """Force completion of everything `tree` depends on by fetching ONE
+    scalar to host. jax.block_until_ready does NOT actually block over the
+    axon tunnel (r4 finding: a chain of 80 4096^2 matmuls "completed" in
+    49 us by the old harness); a device->host transfer is the only reliable
+    synchronization point."""
     import jax
 
-    out = step(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        out = step(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iters
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+
+
+def _time_step(step, args, n_iters, warmup=1, n_base=1):
+    """Time a carry-style step: ``step(*args) -> tuple(next_args)``.
+
+    Chaining the output into the next iteration creates a real on-device
+    data dependency, so queued executions can't be deduped or elided by the
+    tunnel. Each measurement is synchronized by `_fetch_scalar` (NOT
+    block_until_ready — see its docstring), and the constant tunnel
+    round-trip + fetch cost is cancelled by differencing two runs of
+    n_base and n_base + n_iters iterations."""
+
+    def run(n, a):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            a = step(*a)
+        _fetch_scalar(a)
+        return time.perf_counter() - t0, a
+
+    _, args = run(1, args)  # compile
+    for _ in range(max(warmup - 1, 0)):
+        _, args = run(1, args)
+    t_small, _ = run(n_base, args)
+    t_big, _ = run(n_base + n_iters, args)
+    # One repeat of each leg guards against a queue hiccup: min-per-leg is
+    # the robust estimator (a hiccup only ever ADDS time to a leg).
+    t_small2, _ = run(n_base, args)
+    t_big2, _ = run(n_base + n_iters, args)
+    dt = min(t_big, t_big2) - min(t_small, t_small2)
+    return max(dt, 1e-9) / n_iters
 
 
 def _emit(name, mpix_s, detail):
@@ -158,7 +185,15 @@ def bench_textured(n_iters=20, h=1024, gn=161):
         )
         return jnp.mean(img**2)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    @jax.jit
+    def step(v):
+        # Chain v through the gradient (1e-30*g underflows to zero in f32,
+        # so every iteration computes the identical workload) — a real
+        # data dependency the compiler can't fold and the tunnel can't
+        # dedup (see _time_step).
+        _, g = jax.value_and_grad(loss_fn)(v)
+        return (v + 1e-30 * g,)
+
     dt_s = _time_step(step, (v,), n_iters)
     return _emit(
         "textured",
@@ -250,8 +285,9 @@ def bench_inverse8(n_iters=10, h=512, gn=81):
             lambda p: jnp.mean((forward(*p) - img_gt) ** 2)
         )(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state
 
+    # A real training loop chains (params, opt_state) naturally.
     dt_s = _time_step(train_step, ((v0, tex0), opt_state), n_iters)
     return _emit(
         "inverse8",
@@ -282,7 +318,13 @@ def bench_attr_fit(n_iters=10, h=1024, gn=161):
         img = grid_sample(tex, uv, mode="bilinear", padding_mode="border")
         return jnp.mean((img * mask) ** 2)
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    @jax.jit
+    def step(vt, tex):
+        _, (g_vt, g_tex) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            vt, tex
+        )
+        return vt + 1e-30 * g_vt, tex + 1e-30 * g_tex
+
     dt_s = _time_step(step, (vt, tex), n_iters)
     return _emit(
         "attr_fit",
@@ -364,7 +406,7 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
     def train_step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_ckpt)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state
 
     dt_s = _time_step(train_step, (params, opt_state), n_iters)
     return _emit(
@@ -692,13 +734,13 @@ def bench_fit(mode="full", steps=2000, out_path="FIT_TPU.json"):
 
     carry = (v0, opt.init(v0))
     carry, _ = run_chunk(carry)  # compile + first chunk
-    jax.block_until_ready(carry[0])
+    _fetch_scalar(carry[0])  # sync (block_until_ready is a tunnel no-op)
     t0 = time.perf_counter()
     losses = []
     for _ in range(steps // chunk - 1):
         carry, ls = run_chunk(carry)
         losses.append(ls)
-    jax.block_until_ready(carry[0])
+    _fetch_scalar(carry[0])
     dt_s = time.perf_counter() - t0
     v_fit = carry[0]
 
@@ -754,9 +796,14 @@ def bench_scaling(n_iters=10, h=1024, gn=161):
     for nd in counts:
         mesh = make_mesh(nd, batch=1)
         fwd = make_row_sharded_forward(mesh, vi, h, w)
-        step = jax.jit(
-            jax.value_and_grad(lambda v: jnp.mean(fwd(v, vt, tex) ** 2))
-        )
+
+        @jax.jit
+        def step(v):
+            _, g = jax.value_and_grad(
+                lambda v: jnp.mean(fwd(v, vt, tex) ** 2)
+            )(v)
+            return (v + 1e-30 * g,)
+
         dt_s = _time_step(step, (v,), n_iters)
         results.append({"devices": nd, "mpix_s": round(h * w / dt_s / 1e6, 2)})
     base = results[0]["mpix_s"]
