@@ -115,7 +115,12 @@ def _fetch_scalar(tree):
     scalar to host. jax.block_until_ready does NOT actually block over the
     axon tunnel (r4 finding: a chain of 80 4096^2 matmuls "completed" in
     49 us by the old harness); a device->host transfer is the only reliable
-    synchronization point."""
+    synchronization point.
+
+    Assumption (ADVICE r4): every timed step here is a single jit
+    executable, so all of its output leaves complete together and fetching
+    the FIRST leaf synchronizes the whole step. If a future step returns
+    leaves from separate dispatches, fetch one scalar per dispatch."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(tree)[0]
@@ -142,14 +147,24 @@ def _time_step(step, args, n_iters, warmup=1, n_base=1):
     _, args = run(1, args)  # compile
     for _ in range(max(warmup - 1, 0)):
         _, args = run(1, args)
-    t_small, _ = run(n_base, args)
-    t_big, _ = run(n_base + n_iters, args)
     # One repeat of each leg guards against a queue hiccup: min-per-leg is
-    # the robust estimator (a hiccup only ever ADDS time to a leg).
-    t_small2, _ = run(n_base, args)
-    t_big2, _ = run(n_base + n_iters, args)
-    dt = min(t_big, t_big2) - min(t_small, t_small2)
-    return max(dt, 1e-9) / n_iters
+    # the robust estimator (a hiccup only ever ADDS time to a leg). A
+    # non-positive difference means jitter swamped the workload — that is
+    # a measurement FAILURE, so retry with more repeats and finally raise
+    # rather than clamping to a bogus tiny dt (ADVICE r4).
+    for extra_reps in (0, 2):
+        t_small = min(run(n_base, args)[0] for _ in range(2 + extra_reps))
+        t_big = min(run(n_base + n_iters, args)[0] for _ in range(2 + extra_reps))
+        dt = t_big - t_small
+        if dt > 0:
+            return dt / n_iters
+        print(json.dumps({"note": "non-positive timing delta, retrying",
+                          "t_small": t_small, "t_big": t_big}), flush=True)
+    raise RuntimeError(
+        f"timing failed: n_iters={n_iters} extra iterations took no "
+        f"measurable time (t_small={t_small:.6f}s, t_big={t_big:.6f}s) — "
+        "tunnel jitter exceeds the workload; raise n_iters"
+    )
 
 
 def _emit(name, mpix_s, detail):
@@ -187,10 +202,12 @@ def bench_textured(n_iters=20, h=1024, gn=161):
 
     @jax.jit
     def step(v):
-        # Chain v through the gradient (1e-30*g underflows to zero in f32,
-        # so every iteration computes the identical workload) — a real
-        # data dependency the compiler can't fold and the tunnel can't
-        # dedup (see _time_step).
+        # Chain v through the gradient: a real data dependency the compiler
+        # can't fold and the tunnel can't dedup (see _time_step). 1e-30*g
+        # does NOT underflow in f32 (min normal ~1.2e-38); the carry stays
+        # fixed because adding ~1e-30 to O(0.01..1000) coordinates is
+        # absorbed below 0.5 ulp. This assumes |g| stays within ~1e6 of the
+        # coordinate scale — true for this scene by construction.
         _, g = jax.value_and_grad(loss_fn)(v)
         return (v + 1e-30 * g,)
 
@@ -820,6 +837,23 @@ def bench_scaling(n_iters=10, h=1024, gn=161):
     return {"config": "scaling", **rec}
 
 
+def write_matrix(records, path="BENCH_MATRIX.json"):
+    """Write the config matrix artifact. Error rows are recorded (so one
+    OOM doesn't erase the other configs' evidence) but make the run FAIL:
+    prints a one-line summary per failed config and raises SystemExit(1).
+    Unit-tested in tests/test_docs.py."""
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
+    failed = [r["config"] for r in records if "error" in r]
+    if failed:
+        print(json.dumps({
+            "note": "BENCH MATRIX INCOMPLETE — configs failed",
+            "failed": failed, "path": path,
+        }), flush=True)
+        raise SystemExit(1)
+    return records
+
+
 def main():
     import sys
 
@@ -882,16 +916,17 @@ def main():
         return
     if "--all" in sys.argv[1:]:
         # One failed config (OOM, tunnel drop) must not erase the others'
-        # evidence: record the error and keep going.
+        # evidence: record the error and keep going — but an error row must
+        # FAIL LOUD at the end (nonzero exit + summary), so the matrix
+        # never silently claims more than it measured (VERDICT r4 #6).
         records = []
         for name, fn in fns.items():
             try:
                 records.append(fn())
             except Exception as e:  # noqa: BLE001
-                records.append({"config": name, "error": repr(e)[:300]})
+                records.append({"config": name, "error": repr(e)[:2000]})
                 print(json.dumps(records[-1]), flush=True)
-        with open("BENCH_MATRIX.json", "w") as f:
-            json.dump(records, f, indent=1)
+        write_matrix(records)
     else:
         # Driver contract: exactly ONE JSON line (the primary config).
         bench_textured()

@@ -65,3 +65,29 @@ def test_tutorial_notebooks_valid_and_current(tmp_path):
             c.source for c in nb_new.cells
         ], f"{name} stale — re-run `python docs/gen_notebooks.py`"
         assert sum(c.cell_type == "code" for c in nb_new.cells) >= 2
+
+
+def test_bench_matrix_writer_fails_loud_on_error_rows(tmp_path):
+    """VERDICT r4 #6: an error row in BENCH_MATRIX.json must produce a
+    nonzero exit (SystemExit(1)), not silently interleave with results."""
+    import json
+
+    import pytest
+
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    ok_rows = [{"config": "textured", "value": 1.0}]
+    path = tmp_path / "m.json"
+    assert bench.write_matrix(ok_rows, str(path)) == ok_rows
+    assert json.loads(path.read_text()) == ok_rows
+
+    bad_rows = ok_rows + [{"config": "avatar4k", "error": "boom"}]
+    with pytest.raises(SystemExit) as ei:
+        bench.write_matrix(bad_rows, str(path))
+    assert ei.value.code == 1
+    # The artifact still records everything it measured.
+    assert json.loads(path.read_text()) == bad_rows
