@@ -59,9 +59,19 @@ __all__ = [
 def _sweep_pattern(height: int, width: int, channels: int, dtype) -> jnp.ndarray:
     """Background sweep written by the CUDA kernel for index==-1 pixels
     (interpolate_kernel.cu:104-109): channel c gets
-    ``(x*2+1)/W - 1`` when c is even, ``(y*2+1)/H - 1`` when c is odd."""
-    sx = (jnp.arange(width, dtype=dtype) * 2.0 + 1.0) / width - 1.0
-    sy = (jnp.arange(height, dtype=dtype) * 2.0 + 1.0) / height - 1.0
+    ``(x*2+1)/W - 1`` when c is even, ``(y*2+1)/H - 1`` when c is odd.
+
+    Computed in numpy at trace time and embedded as a literal: XLA is free
+    to contract a runtime ``(x*2+1)/W - 1`` inside whatever fusion consumes
+    it (observed on CPU: a reciprocal-multiply giving 1-ulp drift), which
+    would break the bit-exact viewport/banding contract."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    sx = jnp.asarray(
+        (np.arange(width, dtype=np_dtype) * np_dtype.type(2) + np_dtype.type(1))
+        / np_dtype.type(width) - np_dtype.type(1))
+    sy = jnp.asarray(
+        (np.arange(height, dtype=np_dtype) * np_dtype.type(2) + np_dtype.type(1))
+        / np_dtype.type(height) - np_dtype.type(1))
     img_x = jnp.broadcast_to(sx[None, :], (height, width))
     img_y = jnp.broadcast_to(sy[:, None], (height, width))
     chans = [img_x if c % 2 == 0 else img_y for c in range(channels)]
@@ -72,13 +82,21 @@ def _sweep_pattern_viewport(
     height: int, width: int, channels: int, dtype, y_offset, full_height: int
 ) -> jnp.ndarray:
     """Rows [y_offset, y_offset+height) of the FULL-frame sweep pattern —
-    bit-exact with _sweep_pattern(full_height, ...) at those rows (same
-    integer row values, same division). ``y_offset`` may be traced
-    (shard_map axis_index)."""
+    bit-exact with _sweep_pattern(full_height, ...) at those rows.
+    ``y_offset`` may be traced (shard_map axis_index / scan carry), so the
+    row values are GATHERED from the numpy-computed full-height sweep
+    vector (same literals as :func:`_sweep_pattern` — see its docstring
+    for why the values must not be recomputed in XLA)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     y_off = jnp.asarray(y_offset, jnp.int32)
-    sx = (jnp.arange(width, dtype=dtype) * 2.0 + 1.0) / width - 1.0
-    rows = (jnp.arange(height, dtype=jnp.int32) + y_off).astype(dtype)
-    sy = (rows * 2.0 + 1.0) / full_height - 1.0
+    sx = jnp.asarray(
+        (np.arange(width, dtype=np_dtype) * np_dtype.type(2) + np_dtype.type(1))
+        / np_dtype.type(width) - np_dtype.type(1))
+    sy_full = jnp.asarray(
+        (np.arange(full_height, dtype=np_dtype) * np_dtype.type(2)
+         + np_dtype.type(1)) / np_dtype.type(full_height) - np_dtype.type(1))
+    rows = jnp.arange(height, dtype=jnp.int32) + y_off
+    sy = sy_full[rows]
     img_x = jnp.broadcast_to(sx[None, :], (height, width))
     img_y = jnp.broadcast_to(sy[:, None], (height, width))
     chans = [img_x if c % 2 == 0 else img_y for c in range(channels)]
