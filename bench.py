@@ -351,9 +351,21 @@ def bench_attr_fit(n_iters=10, h=1024, gn=161):
     )
 
 
-def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
+def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256, n_bands=8):
     """BASELINE config 5 (single-chip slice): 4K, ~101k tris, mipmap
-    shading, msi background composite, Adam step."""
+    shading, msi background composite, Adam step.
+
+    The step runs ROW-BANDED (drtk_tpu.parallel.banded): a full-frame 16
+    Mpix fwd+bwd's residual set (mipmap taps + render geometry + edge_grad
+    stencils) exceeds one chip's HBM even under jax.checkpoint (the r4
+    compile OOM: 17.59 of 15.75 GB). Each of ``n_bands`` horizontal bands
+    rasterizes/renders/interpolates/mipmap-shades as a bit-exact viewport
+    under lax.scan + remat, so live memory is the full-frame IMAGES plus
+    one band's interiors; edge_grad's CRD backward runs per band with a
+    one-row halo. This is the TPU-native equivalent of the reference
+    kernels' O(1)-memory-per-pixel property (grid-stride loops,
+    recompute-not-store backwards, e.g. mipmap_grid_sampler_kernel.cu:
+    411-631, msi_kernel.cu:296-408)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -361,8 +373,12 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
     import drtk_tpu as dt
     from drtk_tpu.ops.mipmap_grid_sample import mipmap_grid_sample
     from drtk_tpu.ops.msi import msi
+    from drtk_tpu.parallel.banded import (
+        edge_grad_estimator_banded, map_row_bands,
+    )
 
     w = h  # gn=226 -> 101,250 tris at the default scale
+    hb = h // n_bands
     v, vi, vt, tex = make_scene(h, w, gn)
     rng = np.random.RandomState(1)
     levels = [
@@ -384,24 +400,34 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
 
     def loss_fn(params):
         v, levels, msi_tex = params
-        index_img = dt.rasterize(v, vi, h, w)
-        _, bary = dt.render(v, vi, index_img)
-        vt_img = dt.interpolate(vt, vi, index_img, bary)
-        uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
-        # Screen-space uv Jacobian by finite differences of the uv image
-        # (no grad to vt_dxdy, like the reference).
-        uv_sg = jax.lax.stop_gradient(uv)
-        dx = jnp.pad(uv_sg[:, :, 1:] - uv_sg[:, :, :-1], ((0, 0), (0, 0), (0, 1), (0, 0)))
-        dy = jnp.pad(uv_sg[:, 1:] - uv_sg[:, :-1], ((0, 0), (0, 1), (0, 0), (0, 0)))
-        vt_dxdy = jnp.stack([dx, dy], axis=-2) * 0.5  # to 0..1 uv units
-        rgb = mipmap_grid_sample(
-            levels, uv, vt_dxdy, max_aniso=2, mode="bilinear",
-            padding_mode="border", clip_grad=True,
-        )
-        maskf = (index_img != -1)[:, None].astype(jnp.float32)
-        fg = dt.edge_grad_estimator(
-            v_pix=v, vi=vi, bary_img=bary, img=rgb * maskf,
-            index_img=index_img,
+
+        def band(y0):
+            idx = dt.rasterize(v, vi, hb, w, y_offset=y0, full_height=h)
+            _, bary = dt.render(v, vi, idx, y_offset=y0)
+            vt_img = dt.interpolate(vt, vi, idx, bary, y_offset=y0,
+                                    full_height=h)
+            uv = jnp.moveaxis(vt_img, 1, -1) * 2.0 - 1.0
+            # Screen-space uv Jacobian by finite differences of the uv
+            # image (no grad to vt_dxdy, like the reference). dy's last
+            # in-band row is edge-padded — at the 4096-row scale the
+            # n_bands-1 seam rows are noise in the LOD estimate.
+            uv_sg = jax.lax.stop_gradient(uv)
+            dx = jnp.pad(uv_sg[:, :, 1:] - uv_sg[:, :, :-1],
+                         ((0, 0), (0, 0), (0, 1), (0, 0)))
+            dy = jnp.pad(uv_sg[:, 1:] - uv_sg[:, :-1],
+                         ((0, 0), (0, 1), (0, 0), (0, 0)))
+            vt_dxdy = jnp.stack([dx, dy], axis=-2) * 0.5  # to 0..1 uv units
+            rgb = mipmap_grid_sample(
+                levels, uv, vt_dxdy, max_aniso=2, mode="bilinear",
+                padding_mode="border", clip_grad=True,
+            )
+            maskf = (idx != -1)[:, None].astype(jnp.float32)
+            return rgb * maskf, maskf, bary, idx
+
+        fg, maskf, bary, idx = map_row_bands(band, h, n_bands)
+        fg = edge_grad_estimator_banded(
+            v_pix=v, vi=vi, bary_img=bary, img=fg, index_img=idx,
+            n_bands=n_bands,
         )
         bg = msi(ray_o, ray_d, msi_tex, sub_step_count=2)
         bg_img = jnp.moveaxis(bg[:, :3].reshape(1, bh, bw, 3), -1, 1)
@@ -413,15 +439,9 @@ def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256):
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    # Remat the forward: the combined residual set (mipmap taps + render
-    # geometry + edge_grad stencils at 16 Mpix) otherwise exceeds HBM and
-    # XLA falls into a memory-squeezed schedule ~1.7x slower than
-    # recompute-in-backward.
-    loss_ckpt = jax.checkpoint(loss_fn)
-
     @jax.jit
     def train_step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_ckpt)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state
 
@@ -591,6 +611,181 @@ def _grad_case_textured(idx_fixed=None):
     }
 
 
+def _grad_cases_aux():
+    """On-chip vs-CPU value+gradient probes for the ops the rasterizer
+    scene matrix and the textured pipeline probe do NOT cover (VERDICT r4
+    #2): mipmap_grid_sample (exercising window_accum's Pallas kernel via
+    the pyramid gradient, plus its scattered-taps runtime fallback), msi,
+    grid_scatter (windowed fast path AND the linear-transpose exact path),
+    and filter2d. Round 4 found two Mosaic-only compile bugs in paths
+    interpret mode had accepted — these ops otherwise have zero executions
+    under the real Mosaic/XLA-TPU pipeline.
+
+    Inputs are deterministic (seeded) and in general position: smooth
+    fields + jitter keep the discrete selections (mip level, scatter cell,
+    msi early-out) away from their thresholds, so the cross-compiler
+    comparison sees only continuous math. Returns a flat dict of
+    name -> np.ndarray; the CPU subprocess rebuilds the identical dict.
+    Reference analogue: the CPU kernels double as CUDA cross-checks
+    (src/rasterize/rasterize_kernel_cpu.cpp:73-192)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drtk_tpu.ops.filter2d import (
+        FilterOptions, FilterType, downsample, low_pass_filter, upsample,
+    )
+    from drtk_tpu.ops.grid_scatter import _scatter_adjoint, grid_scatter
+    from drtk_tpu.ops.mipmap_grid_sample import mipmap_grid_sample
+    from drtk_tpu.ops.msi import msi
+
+    out = {}
+    rng = np.random.RandomState(11)
+
+    # --- mipmap_grid_sample: grads to every pyramid level (window_accum)
+    # and to the grid. The dxdy field sweeps the LOD smoothly across ~0..3
+    # so every level and the aniso tap loop are exercised.
+    levels = [
+        jnp.asarray(rng.rand(1, 3, 64 >> i, 64 >> i).astype(np.float32))
+        for i in range(4)
+    ]
+    gh, gw = 48, 64
+    yy, xx = np.meshgrid(
+        np.linspace(-0.95, 0.95, gh), np.linspace(-0.95, 0.95, gw),
+        indexing="ij",
+    )
+    grid = np.stack(
+        [xx + 0.03 * np.sin(5 * yy), yy + 0.03 * np.cos(4 * xx)], -1
+    )[None].astype(np.float32)
+    grid = jnp.asarray(grid)
+    scale = ((0.5 + 3.5 * (xx + 0.95) / 1.9) / 64.0).astype(np.float32)
+    dxdy = np.stack(
+        [
+            np.stack([scale, 0.1 * scale], -1),
+            np.stack([0.1 * scale, 1.3 * scale], -1),
+        ],
+        -2,
+    )[None].astype(np.float32)  # [1, gh, gw, 2, 2]
+    vt_dxdy = jnp.asarray(dxdy)
+    w_mip = jnp.asarray(rng.randn(1, 3, gh, gw).astype(np.float32))
+
+    for name, kw in [
+        ("mipmap_bilinear",
+         dict(mode="bilinear", max_aniso=4, clip_grad=True)),
+        ("mipmap_bicubic_fma",
+         dict(mode="bicubic", max_aniso=2, force_max_aniso=True)),
+    ]:
+        def loss(levels, grid, kw=kw):
+            o = mipmap_grid_sample(
+                levels, grid, vt_dxdy, padding_mode="border", **kw
+            )
+            return jnp.sum(o * w_mip), o
+
+        (_, o), grads = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)
+        )(levels, grid)
+        out[f"{name}.out"] = np.asarray(o)
+        for i, g in enumerate(grads[0]):
+            out[f"{name}.grad_level{i}"] = np.asarray(g)
+        out[f"{name}.grad_grid"] = np.asarray(grads[1])
+
+    # --- msi: texture gradient (the only one the op defines,
+    # msi_module.cpp:108-122) through the prefix-scan march.
+    rh, rw = 24, 32
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, rh), np.linspace(-1, 1, rw), indexing="ij"
+    )
+    rd = np.stack([xx, yy, np.ones_like(xx)], -1).reshape(-1, 3)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ray_d = jnp.asarray(rd.astype(np.float32))
+    ray_o = jnp.asarray(
+        (0.05 * rng.randn(rh * rw, 3)).astype(np.float32)
+    )
+    msi_tex = jnp.asarray(rng.rand(6, 4, 32, 64).astype(np.float32))
+    w_msi = jnp.asarray(rng.randn(rh * rw, 4).astype(np.float32))
+
+    def msi_loss(tex):
+        o = msi(ray_o, ray_d, tex, sub_step_count=3)
+        return jnp.sum(o * w_msi), o
+
+    (_, o), g_tex = jax.jit(
+        jax.value_and_grad(msi_loss, has_aux=True)
+    )(msi_tex)
+    out["msi.out"] = np.asarray(o)
+    out["msi.grad_texture"] = np.asarray(g_tex)
+
+    # --- grid_scatter: coherent warp (windowed window_accum fast path),
+    # uniformly random targets (per-batch scatter fallback at runtime),
+    # and the linear-transpose exact path, with grads to input and grid.
+    sh, sw, oh, ow = 40, 56, 48, 64
+    inp = jnp.asarray(rng.rand(1, 3, sh, sw).astype(np.float32))
+    yy, xx = np.meshgrid(
+        np.linspace(-0.9, 0.9, sh), np.linspace(-0.9, 0.9, sw),
+        indexing="ij",
+    )
+    grid_c = jnp.asarray(
+        np.stack([xx + 0.05 * np.sin(3 * yy), yy + 0.05 * np.cos(2 * xx)],
+                 -1)[None].astype(np.float32)
+    )
+    grid_r = jnp.asarray(
+        rng.uniform(-0.98, 0.98, (1, sh, sw, 2)).astype(np.float32)
+    )
+    w_sc = jnp.asarray(rng.randn(1, 3, oh, ow).astype(np.float32))
+
+    for name, g_in, kw in [
+        ("gscat_win_bilinear", grid_c,
+         dict(mode="bilinear", padding_mode="border")),
+        ("gscat_win_bicubic", grid_c,
+         dict(mode="bicubic", padding_mode="zeros")),
+        ("gscat_fallback", grid_r,
+         dict(mode="bilinear", padding_mode="zeros")),
+    ]:
+        def sc_loss(inp, g, kw=kw):
+            o = grid_scatter(inp, g, oh, ow, **kw)
+            return jnp.sum(o * w_sc), o
+
+        (_, o), grads = jax.jit(
+            jax.value_and_grad(sc_loss, argnums=(0, 1), has_aux=True)
+        )(inp, g_in)
+        out[f"{name}.out"] = np.asarray(o)
+        out[f"{name}.grad_input"] = np.asarray(grads[0])
+        out[f"{name}.grad_grid"] = np.asarray(grads[1])
+
+    out["gscat_exact.out"] = np.asarray(
+        jax.jit(
+            lambda i, g: _scatter_adjoint(
+                i, g, oh, ow, "bilinear", "border", False
+            )
+        )(inp, grid_c)
+    )
+
+    # --- filter2d: Kaiser down/up and Lanczos low-pass, grads to x.
+    x_f = jnp.asarray(rng.rand(1, 3, 48, 64).astype(np.float32))
+    fo_k = FilterOptions(n_taps=6, filter_type=FilterType.Kaiser,
+                         alias_guard_band=0.5)
+    fo_l = FilterOptions(n_taps=4, filter_type=FilterType.Lanczos)
+    for name, fn in [
+        ("filt_down_kaiser", lambda x: downsample(x, fo_k, 2)),
+        ("filt_up_kaiser", lambda x: upsample(x, fo_k, 2)),
+        ("filt_lowpass_lanczos",
+         lambda x: low_pass_filter(x, fo_l, freq_div=2.0)),
+    ]:
+        w_f = jnp.asarray(
+            rng.randn(*jax.eval_shape(fn, x_f).shape).astype(np.float32)
+        )
+
+        def f_loss(x, fn=fn, w_f=w_f):
+            o = fn(x)
+            return jnp.sum(o * w_f), o
+
+        (_, o), g_x = jax.jit(
+            jax.value_and_grad(f_loss, has_aux=True)
+        )(x_f)
+        out[f"{name}.out"] = np.asarray(o)
+        out[f"{name}.grad_x"] = np.asarray(g_x)
+
+    return out
+
+
 def bench_parity(out_path="PARITY_TPU.json"):
     """On-TPU parity evidence (VERDICT r3 #4).
 
@@ -656,13 +851,15 @@ def bench_parity(out_path="PARITY_TPU.json"):
     # differentiate over the same discrete structure (see
     # _grad_case_textured's docstring for why).
     tpu_g = _grad_case_textured()
-    np.savez("/tmp/drtk_parity_tpu_grads.npz", **tpu_g)
+    tpu_aux = _grad_cases_aux()
+    np.savez("/tmp/drtk_parity_tpu_grads.npz", **tpu_g,
+             **{f"aux::{k}": v for k, v in tpu_aux.items()})
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, __file__, "--parity-cpu-grads",
          "/tmp/drtk_parity_cpu_grads.npz",
          "/tmp/drtk_parity_tpu_grads.npz"],
-        env=env, capture_output=True, text=True, timeout=1200,
+        env=env, capture_output=True, text=True, timeout=2400,
     )
     if out.returncode != 0:
         raise RuntimeError(f"CPU grad subprocess failed: {out.stderr[-800:]}")
@@ -676,8 +873,28 @@ def bench_parity(out_path="PARITY_TPU.json"):
         records["grads"].append(rec)
         print(json.dumps(rec), flush=True)
 
+    # Aux-op probes (mipmap/msi/grid_scatter/filter2d — VERDICT r4 #2).
+    records["aux"] = []
+    for k in sorted(tpu_aux):
+        a, b = tpu_aux[k], cpu_g[f"aux::{k}"]
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = float(np.abs(a - b).max() / scale)
+        rec = {"tensor": k, "max_rel_diff_tpu_vs_cpu": rel,
+               "ok": rel <= 2e-3}
+        records["aux"].append(rec)
+        print(json.dumps(rec), flush=True)
+    # The exact (linear-transpose) path must agree with the windowed fast
+    # path ON CHIP — same tap set, different accumulation order.
+    a = tpu_aux["gscat_exact.out"]
+    b = tpu_aux["gscat_win_bilinear.out"]
+    rel = float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-6))
+    rec = {"tensor": "gscat_exact_vs_windowed_onchip",
+           "max_rel_diff": rel, "ok": rel <= 1e-5}
+    records["aux"].append(rec)
+    print(json.dumps(rec), flush=True)
+
     records["ok"] = all(
-        r["ok"] for part in ["scenes", "wireframe", "grads"]
+        r["ok"] for part in ["scenes", "wireframe", "grads", "aux"]
         for r in records[part]
     )
     with open(out_path, "w") as f:
@@ -750,10 +967,10 @@ def bench_fit(mode="full", steps=2000, out_path="FIT_TPU.json"):
         return jax.lax.scan(one_step, carry, None, length=chunk)
 
     carry = (v0, opt.init(v0))
-    carry, _ = run_chunk(carry)  # compile + first chunk
+    carry, ls0 = run_chunk(carry)  # compile + first chunk
     _fetch_scalar(carry[0])  # sync (block_until_ready is a tunnel no-op)
     t0 = time.perf_counter()
-    losses = []
+    losses = [ls0]
     for _ in range(steps // chunk - 1):
         carry, ls = run_chunk(carry)
         losses.append(ls)
@@ -763,19 +980,47 @@ def bench_fit(mode="full", steps=2000, out_path="FIT_TPU.json"):
 
     err = np.abs(np.asarray(v_fit - v_gt))[0]
     err_opt = float((err * np.asarray(axis_mask)).max())
+    loss_step0 = float(np.asarray(losses[0][0]))
     final_loss = float(np.asarray(losses[-1][-1]))
-    # xy converges in vertex space; z / full retain residual vertex error
-    # in image-unobservable directions (z slides freely away from the
-    # penetration line — gauge freedom), so those modes converge in IMAGE
-    # space: the reference's own success criterion is the loss trace.
-    converged = bool(err_opt < 1.0) or bool(final_loss < 1e-3)
+    # Per-chunk loss trace (last loss of each 100-step chunk, prefixed
+    # with step 0): the reference's own success criterion is this trace
+    # decreasing (test/two_triangles.py:62-86).
+    trace = [loss_step0] + [float(np.asarray(l[-1])) for l in losses]
+
+    # Final-image residual: xy converges in vertex space; z / full retain
+    # residual vertex error in image-UNOBSERVABLE directions (z slides
+    # freely off the penetration line — gauge freedom), so those modes
+    # must converge in IMAGE space instead — measured as PSNR of the final
+    # render vs the target (peak = 1, the texture scale).
+    img_fit = np.asarray(jax.jit(forward)(v_fit))
+    img_gt_np = np.asarray(img_gt)
+    mse = float(np.mean((img_fit - img_gt_np) ** 2))
+    bit_equal = bool((img_fit == img_gt_np).all())
+    psnr_db = float("inf") if mse == 0.0 else -10.0 * np.log10(mse)
+
+    # Gate (VERDICT r4 #5): the loss must actually DECREASE >=100x from
+    # step 0 (a frozen optimizer on a low-loss scene fails), the initial
+    # loss must be nonvacuous, and the mode's observable must converge
+    # (xy: vertex error < 1 px; z/full: final-image PSNR >= 30 dB). An
+    # exactly-zero final f32 MSE is only accepted when the images are
+    # verifiably bit-equal (not a reduction bug).
+    decreased = loss_step0 > 1e-6 and final_loss <= loss_step0 / 100.0
+    observable_ok = (
+        err_opt < 1.0 if mode == "xy" else psnr_db >= 30.0
+    )
+    zero_ok = mse > 0.0 or bit_equal
+    converged = bool(decreased and observable_ok and zero_ok)
     rec = {
         "metric": f"fit_{mode}: two-triangles 2000-step Adam fit "
         f"(512x512, reference recipe, {mode} axes)",
         "value": round((steps - chunk) / dt_s, 2),
         "unit": "steps/s",
         "final_max_vertex_error_px": round(err_opt, 3),
+        "loss_step0": loss_step0,
         "final_loss": final_loss,
+        "loss_trace_per_chunk": [round(x, 8) for x in trace],
+        "final_psnr_db": round(psnr_db, 2) if mse > 0.0 else "inf",
+        "final_images_bit_equal": bit_equal,
         "converged": converged,
         "vs_baseline": round((steps - chunk) / dt_s / 30.0, 3),
     }
@@ -788,6 +1033,12 @@ def bench_fit(mode="full", steps=2000, out_path="FIT_TPU.json"):
     all_recs[mode] = rec
     with open(out_path, "w") as f:
         json.dump(all_recs, f, indent=1)
+    if not converged:
+        raise SystemExit(
+            f"fit_{mode} failed its convergence gate (decreased={decreased},"
+            f" observable_ok={observable_ok}, zero_ok={zero_ok}) — see "
+            + out_path
+        )
     return rec
 
 
@@ -868,7 +1119,9 @@ def main():
         pos = sys.argv.index("--parity-cpu-grads")
         out, tpu_npz = sys.argv[pos + 1], sys.argv[pos + 2]
         idx_fixed = np.load(tpu_npz)["idx"]
-        np.savez(out, **_grad_case_textured(idx_fixed=idx_fixed))
+        aux = _grad_cases_aux()
+        np.savez(out, **_grad_case_textured(idx_fixed=idx_fixed),
+                 **{f"aux::{k}": v for k, v in aux.items()})
         return
 
     _init_backend()
