@@ -246,9 +246,17 @@ def _quad_rows_gather_bwd(wq, xoffs, res, g):
     rows_b = _blocked_taps(g.astype(jnp.float32))  # [N, K, P]
     iy_b = _blocked_taps(by)
     ix_b = _blocked_taps(bx)
-    # padded taps read texel 0 in fwd; mark them inert (their g is 0 anyway,
-    # but their coords must not stretch the windows)
-    inert = _blocked_taps(jnp.ones(by.shape, jnp.int32)) == 0
+    # Inert taps (iy = -1): their coords must not stretch the window
+    # bounds. Two kinds — blocked_taps padding (reads texel 0 in fwd), and
+    # taps whose cotangent is zero in EVERY channel. The latter is what
+    # keeps the fast path alive on real scenes: background pixels carry
+    # interpolate's -1..1 sweep pattern as uv, so their taps span the whole
+    # mip level and would overflow every pixel block touching background
+    # (observed on the avatar4k step: 100% scatter fallback, ~13 s of a
+    # 22 s step). Masked pipelines (img * (index != -1)) zero exactly those
+    # cotangents, and dropping zero-cotangent taps is exact.
+    live = jnp.any(g != 0, axis=1).astype(jnp.int32)  # [N, T, H, W]
+    inert = _blocked_taps(live) == 0
     iy_b = jnp.where(inert, -1, iy_b)
 
     wq_pad = max(-(-wq // 128) * 128, 512)
@@ -448,7 +456,18 @@ def _mipmap_grid_sample_impl(
     atlas, w_tab, h_tab, xoff_tab = _build_atlas(levels)
     # Static per-level x-offsets (level widths are static shapes).
     _ws = [lvl.shape[3] for lvl in levels]
+    _hs = [lvl.shape[2] for lvl in levels]
     xoffs_py = [sum(_ws[:i]) for i in range(len(_ws))]
+
+    def _take_static(vals, idx):
+        """Tiny-static-table lookup by traced index: Q-1 predicated selects
+        instead of an XLA element-gather. The per-pixel level-parameter
+        lookups are [N, 2T, H, W]-many scalar gathers (measured 133 ms per
+        8-band step at 4K); the same lookup as selects is pure VPU."""
+        out = jnp.full(idx.shape, vals[0], jnp.int32)
+        for j in range(1, len(vals)):
+            out = jnp.where(idx == j, jnp.int32(vals[j]), out)
+        return out
 
     # ---- mip selection (kernel.cu:451-503), all non-differentiable --------
     d = jax.lax.stop_gradient(vt_dxdy_img)  # [N, H, W, 2, 2]
@@ -507,7 +526,11 @@ def _mipmap_grid_sample_impl(
 
     # ---- per-pixel level parameters ---------------------------------------
     def level_params(idx):  # idx [N, H, W] -> ([N, 1, H, W],)*3
-        return w_tab[idx][:, None], h_tab[idx][:, None], xoff_tab[idx][:, None]
+        return (
+            _take_static(_ws, idx)[:, None],
+            _take_static(_hs, idx)[:, None],
+            _take_static(xoffs_py, idx)[:, None],
+        )
 
     if mode == "bilinear" or padding_mode == "zeros":
         quad, wq_q = _build_quad_atlas(atlas)
@@ -546,9 +569,9 @@ def _mipmap_grid_sample_impl(
         ],
         axis=1,
     )  # [N, 2T, H, W]
-    wp = w_tab[lvl2]
-    hp = h_tab[lvl2]
-    xoff = xoff_tab[lvl2]
+    wp = _take_static(_ws, lvl2)
+    hp = _take_static(_hs, lvl2)
+    xoff = _take_static(xoffs_py, lvl2)
     u_t2 = jnp.concatenate([u_t, u_t], axis=1)
     v_t2 = jnp.concatenate([v_t, v_t], axis=1)
     w_tap = jnp.concatenate(
