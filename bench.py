@@ -351,7 +351,7 @@ def bench_attr_fit(n_iters=10, h=1024, gn=161):
     )
 
 
-def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256, n_bands=8):
+def bench_avatar4k(n_iters=3, h=4096, gn=226, bh=256, n_bands=4):
     """BASELINE config 5 (single-chip slice): 4K, ~101k tris, mipmap
     shading, msi background composite, Adam step.
 
