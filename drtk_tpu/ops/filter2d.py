@@ -269,6 +269,10 @@ def _sep_conv(x: jnp.ndarray, f: jnp.ndarray, axis: int, up: int, down: int,
         padding=padding,
         lhs_dilation=lhs_dilation,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # TPU's DEFAULT precision runs f32 convs as one bf16 MXU pass
+        # (~5e-3 relative — caught by bench.py --parity filt_* probes);
+        # the reference kernels are true f32 (filter2d.cpp:119-159).
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(n, c, out.shape[2], out.shape[3])
 

@@ -47,19 +47,35 @@ __all__ = ["grid_scatter", "grid_scatter_ref"]
 
 def _scatter_adjoint(input, grid, output_height, output_width, mode,
                      padding_mode, align_corners):
-    """Transpose of tex -> grid_sample(tex, grid) applied to ``input``."""
+    """Transpose of tex -> grid_sample(tex, grid) applied to ``input``.
+
+    Realized with ``jax.vjp`` around a zero texture pre-varied
+    (:func:`drtk_tpu.ops.math.vary_like`) over every shard_map axis the
+    operands vary over, NOT ``jax.linear_transpose`` on a bare
+    ShapeDtypeStruct: a spec carries no vma, and under shard_map the
+    vma-blind transpose returned a per-shard partial stamped as
+    shard-invariant — downstream ``psum_cotangent`` then skipped the
+    cross-shard reduction (found by tests/test_spmd.py grad_tex). With the
+    primal varied over the union, autodiff inserts no psum and the result
+    is the correctly-typed local partial splat; the unused forward
+    evaluation of the zero texture is dead code under jit."""
+    from drtk_tpu.ops.grid_sample import _grid_sample_impl
+    from drtk_tpu.ops.math import vary_like
+
     n, c = input.shape[:2]
-    tex_spec = jax.ShapeDtypeStruct(
-        (n, c, output_height, output_width), input.dtype
+    tex0 = vary_like(
+        jnp.zeros((n, c, output_height, output_width), input.dtype),
+        input, grid,
     )
 
     def sample_from(tex):
-        return grid_sample(
-            tex, grid, mode=mode, padding_mode=padding_mode,
-            align_corners=align_corners,
-        )
+        # The RAW sampler (plain autodiff, no custom_vjp): this function's
+        # own caller IS grid_sample's input-grad, so the public path's
+        # custom VJP would recurse the splat right back.
+        return _grid_sample_impl(tex, grid, mode, padding_mode, align_corners)
 
-    (out,) = jax.linear_transpose(sample_from, tex_spec)(input)
+    _, pull = jax.vjp(sample_from, tex0)
+    (out,) = pull(input)
     return out
 
 
@@ -145,17 +161,32 @@ def _windowed_scatter(input, grid, out_h, out_w, mode, padding_mode,
     rows = input[:, :, None].astype(jnp.float32) * w_t[:, None]
     t = iy_t.shape[1]
     rows_b = blocked_taps(rows)  # [N, C, P]
-    iy_b = blocked_taps(iy_t)  # [N, P] (pad taps get iy=0 -> mark inert)
+    iy_b = blocked_taps(iy_t)  # [N, P]
     ix_b = blocked_taps(ix_t)
-    pad_live = blocked_taps(jnp.ones(iy_t.shape, jnp.int32)) == 0
-    iy_b = jnp.where(pad_live, -1, iy_b)
+    # Inert taps (iy = -1): blocked_taps padding, and taps whose source
+    # pixel is zero in EVERY channel — scattering zeros is exact identity,
+    # and dropping them keeps the window bounds tight when the grid has
+    # wild coords at zero-valued pixels. The canonical case is grid_sample's
+    # texture-grad VJP routed through this path: background pixels carry
+    # interpolate's -1..1 sweep as uv (taps spanning the whole texture) but
+    # a masked pipeline zeroes exactly those cotangents.
+    live = jnp.any(input != 0, axis=1).astype(jnp.int32)  # [N, H, W]
+    inert = blocked_taps(jnp.broadcast_to(live[:, None], iy_t.shape)) == 0
+    iy_b = jnp.where(inert, -1, iy_b)
 
     hp = max(48, -(-out_h // 8) * 8)
     wp = max(512, -(-out_w // 128) * 128)
     interpret = jax.devices()[0].platform != "tpu"
+    # Tap block: ONE 8x128-pixel rect's taps for bilinear (t=4); bicubic's
+    # 16 taps/rect are split into 4 sub-blocks (same rect -> same window
+    # bbox, so coherence is preserved). An unsplit t=16 block is B=16384
+    # taps, and the kernel's packed one-hot lhs (3 bf16 terms x
+    # [128//K*K, B]) plus the [128, B] one-hot then needs ~18.7 MB of
+    # Mosaic stack — past the 16 MB scoped-vmem limit on v5e (found by
+    # bench.py --parity; interpret mode accepted it).
     acc = window_accumulate(
-        rows_b, iy_b, ix_b, hp, wp, block=t * 8 * 128, win_h=48, win_w=512,
-        interpret=interpret,
+        rows_b, iy_b, ix_b, hp, wp, block=min(t, 4) * 8 * 128, win_h=48,
+        win_w=512, interpret=interpret,
     )
     return acc[:, :, :out_h, :out_w].astype(input.dtype)
 
@@ -213,10 +244,13 @@ def _grid_scatter_bwd(output_height, output_width, mode, padding_mode,
 
     # grad wrt input: gather grad_output at the scatter destinations
     # (grid_scatter_kernel.cu:183-423 — the backward is a grid_sample).
+    # Raw sampler: this VJP wants plain autodiff for the grid derivative,
+    # not grid_sample's custom VJP (which would splat right back).
     def sample_at(g):
-        return grid_sample(
-            grad_output, g, mode=mode, padding_mode=padding_mode,
-            align_corners=align_corners,
+        from drtk_tpu.ops.grid_sample import _grid_sample_impl
+
+        return _grid_sample_impl(
+            grad_output, g, mode, padding_mode, align_corners
         )
 
     grad_input, pullback = jax.vjp(sample_at, grid)
@@ -312,9 +346,13 @@ def grid_scatter_ref(
     ones = jnp.ones((n, c, output_height, output_width), input.dtype)
 
     def sample_from(tex, g):
-        return grid_sample(
-            tex, g, mode=mode, padding_mode=padding_mode,
-            align_corners=bool(align_corners),
+        # Raw sampler: the oracle wants PLAIN autodiff through the whole
+        # composition (its own gradients are second-order through this
+        # vjp, which a custom_vjp boundary would reject).
+        from drtk_tpu.ops.grid_sample import _grid_sample_impl
+
+        return _grid_sample_impl(
+            tex, g, mode, padding_mode, bool(align_corners)
         )
 
     def scatter(inp, g):

@@ -54,7 +54,12 @@ def test_gradients_match_ref(mode):
     g_main = jax.grad(lambda i, g: loss(grid_scatter, i, g), (0, 1))(inp, grid)
     g_ref = jax.grad(lambda i, g: loss(grid_scatter_ref, i, g), (0, 1))(inp, grid)
     np.testing.assert_allclose(g_main[0], g_ref[0], rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(g_main[1], g_ref[1], rtol=1e-4, atol=1e-5)
+    # atol 5e-5: grid-grad entries are O(70) here and near-zero elements are
+    # pure f32 cancellation residue of the bicubic weight derivative — main
+    # and ref compile through different fusions since the ref moved onto the
+    # raw sampler. Correctness is pinned in f64 by
+    # test_grad_grid_finite_differences.
+    np.testing.assert_allclose(g_main[1], g_ref[1], rtol=1e-4, atol=5e-5)
 
 
 def test_grad_grid_finite_differences():
