@@ -91,3 +91,30 @@ def test_bench_matrix_writer_fails_loud_on_error_rows(tmp_path):
     assert ei.value.code == 1
     # The artifact still records everything it measured.
     assert json.loads(path.read_text()) == bad_rows
+
+
+def test_site_builds(tmp_path):
+    """The static docs site (docs/build_site.py — the in-image stand-in for
+    the reference's Sphinx build, DRTK docs/source/conf.py:1) builds every
+    guide, generated-reference page, and tutorial notebook, with no
+    intra-repo markdown link left unrewritten."""
+    import re
+
+    sys.path.insert(0, str(REPO / "docs"))
+    try:
+        import build_site
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / "site"
+    n = build_site.build(out)
+    pages = sorted(out.rglob("*.html"))
+    assert len(pages) == n
+    names = {p.relative_to(out).as_posix() for p in pages}
+    assert "index.html" in names
+    assert "reference/index.html" in names
+    assert any(p.startswith("tutorials/") for p in names)
+    for p in pages:
+        text = p.read_text()
+        assert '<nav>' in text and '<main>' in text
+        assert not re.search(r'href="[^":]*\.(md|ipynb)[#"]', text), p
