@@ -155,10 +155,15 @@ def _edge_grad_backward(v_pix, vi, img, index_img, grad_output, max_dp_dr,
     )  # [N, F, 16]
 
     # Gather once for the full image; the R and D stencil rows are shifted
-    # slices of the same gathered image (1/3 the gather volume).
-    safe_full = jnp.maximum(idx, 0).reshape(n, -1)
-    rows_full = jax.vmap(lambda t, ii: t[ii])(table, safe_full)
-    rows_full = rows_full.reshape(n, h, w, 16)
+    # slices of the same gathered image (1/3 the gather volume). The
+    # binned-matmul fetch (segment_rows.gather_rows_by_index) is bit-exact
+    # and already zero-fills invalid pixels, so the stencil wheres below
+    # are identities there.
+    from drtk_tpu.ops.segment_rows import gather_rows_by_index
+
+    rows_full = gather_rows_by_index(
+        table, idx, interpret=jax.devices()[0].platform != "tpu"
+    )  # [N, H, W, 16]
     rows_c = jnp.where(c_valid[..., None], rows_full[:, :sh, :sw], 0.0)
     rows_r = jnp.where(r_valid[..., None], rows_full[:, :sh, 1:], 0.0)
     rows_d = jnp.where(d_valid[..., None], rows_full[:, 1:, :sw], 0.0)

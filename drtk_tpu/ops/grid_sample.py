@@ -86,7 +86,16 @@ def _gather_2d(
 
     rows_img = jnp.moveaxis(img, 1, -1).reshape(n, h * w, c)
     flat = (iyc * w + ixc).reshape(n, -1)
-    out = jax.vmap(lambda t, ii: t[ii])(rows_img, flat)  # [N, S, C]
+    if ix.ndim == 3:
+        # Image-shaped taps: the row_gather primitive, whose transpose is
+        # the windowed MXU splat instead of XLA's sort-based scatter.
+        from drtk_tpu.ops.row_gather import row_gather
+
+        out = row_gather(
+            rows_img, flat, rows_hw=ix.shape[1:], table_hw=(h, w)
+        )
+    else:
+        out = jax.vmap(lambda t, ii: t[ii])(rows_img, flat)  # [N, S, C]
     out = jnp.moveaxis(out, -1, 1).reshape((n, c) + ix.shape[1:])
     if zero_fill:
         out = jnp.where(inb[:, None], out, 0.0)
@@ -165,7 +174,18 @@ def _grid_sample_impl(
         quad = jnp.concatenate([t, tx1, ty1, txy], -1).reshape(n, hq * wq, 4 * c)
 
         flat = (by * wq + bx).reshape(n, -1)
-        rows = jax.vmap(lambda q, ii: q[ii])(quad, flat)  # [N, P, 4C]
+        if ix0.ndim == 3:
+            # row_gather primitive: transpose = windowed MXU splat of the
+            # quad-row cotangents (folded back to the texture by the quad
+            # build's own transpose — four shifted adds), built only when
+            # the texture is differentiated.
+            from drtk_tpu.ops.row_gather import row_gather
+
+            rows = row_gather(
+                quad, flat, rows_hw=ix0.shape[1:], table_hw=(hq, wq)
+            )
+        else:
+            rows = jax.vmap(lambda q, ii: q[ii])(quad, flat)  # [N, P, 4C]
         rows = rows.reshape(ix0.shape + (4, c))
 
         wx1 = tx[..., None]
@@ -240,63 +260,6 @@ def _grid_sample_impl(
     raise ValueError(f"grid_sample: unknown mode {mode!r}")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _grid_sample_diff(input, grid, mode, padding_mode, align_corners):
-    """grid_sample with a hand-rolled VJP.
-
-    The texture gradient of a fixed-grid sample is by definition
-    ``grid_scatter(cotangent, grid)`` — the adjoint splat. Plain autodiff
-    realizes it as an XLA scatter, which lowers to a sort pipeline
-    (measured: 137 ms scatter + ~52 ms of sort fusions per 8x512^2
-    inverse-rendering step, ~60% of the step). Routing it through
-    grid_scatter's windowed accumulator keeps it on the MXU fast path;
-    f64 / shard_map-varying operands keep the literal transpose inside
-    the dispatch (drtk_tpu.ops.grid_scatter._scatter_dispatch). The grid
-    gradient re-derives the sampling derivative by differentiating the
-    raw sampler at a fixed texture (recompute-not-store, like the
-    reference kernels)."""
-    return _grid_sample_impl(input, grid, mode, padding_mode, align_corners)
-
-
-def _grid_sample_diff_fwd(input, grid, mode, padding_mode, align_corners):
-    # The grid pullback is captured HERE (jax.vjp returns a pytree-valued
-    # Partial, a legal residual) so grad_grid reuses the forward's gather
-    # residuals exactly like plain autodiff — re-deriving it in the bwd
-    # re-ran the full gather pass and cost the textured headline ~17%.
-    out, pull = jax.vjp(
-        lambda gr: _grid_sample_impl(
-            input, gr, mode, padding_mode, align_corners
-        ),
-        grid,
-    )
-    return out, (input, grid, pull)
-
-
-def _grid_sample_diff_bwd(mode, padding_mode, align_corners, res, g):
-    input, grid, pull = res
-    (grad_grid,) = pull(g)
-
-    from drtk_tpu.ops.grid_scatter import _scatter_dispatch
-    from drtk_tpu.ops.math import psum_cotangent
-
-    grad_input = _scatter_dispatch(
-        g, grid, input.shape[2], input.shape[3], mode, padding_mode,
-        align_corners,
-    )
-    # shard_map: a replicated texture gets per-shard partial cotangents;
-    # the transpose machinery cannot see inside a custom_vjp to insert the
-    # reduction (ops.math.psum_cotangent; no-op outside shard_map).
-    return psum_cotangent(grad_input.astype(input.dtype), input), grad_grid
-
-
-_grid_sample_diff.defvjp(_grid_sample_diff_fwd, _grid_sample_diff_bwd)
-
-
-@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
-def _grid_sample_diff_jit(input, grid, mode, padding_mode, align_corners):
-    return _grid_sample_diff(input, grid, mode, padding_mode, align_corners)
-
-
 @functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
 def _grid_sample_jit(input, grid, mode, padding_mode, align_corners):
     return _grid_sample_impl(input, grid, mode, padding_mode, align_corners)
@@ -336,11 +299,4 @@ def grid_sample(
         raise ValueError(f"grid_sample: unknown mode {mode!r}")
     if padding_mode not in ("zeros", "border", "reflection"):
         raise ValueError(f"grid_sample: unknown padding_mode {padding_mode!r}")
-    if mode in ("bilinear", "bicubic") and grid.ndim == 4:
-        # Custom VJP: windowed texture grad (see _grid_sample_diff).
-        # nearest (no grid gradient exists) and non-image grid layouts
-        # keep plain autodiff.
-        return _grid_sample_diff_jit(
-            input, grid, mode, padding_mode, bool(align_corners)
-        )
     return _grid_sample_jit(input, grid, mode, padding_mode, bool(align_corners))

@@ -123,14 +123,17 @@ def _gather_face_attrs(vert_attributes, vi, index_img):
     """
     n, h, w = index_img.shape
     c = vert_attributes.shape[-1]
-    safe = jnp.maximum(index_img, 0).reshape(n, -1)
     table = jax.vmap(lambda ab, vib: ab[vib])(vert_attributes, vi)  # [N,F,3,C]
-    table = table.reshape(n, -1, 3 * c)
-    row_pad = -(3 * c) % 8
-    if row_pad:
-        table = jnp.pad(table, ((0, 0), (0, 0), (0, row_pad)))
-    rows = jax.vmap(lambda t, ii: t[ii])(table, safe)
-    return rows[..., : 3 * c].reshape(n, h, w, 3, c)
+    # Binned-matmul row fetch (segment_rows.gather_rows_by_index):
+    # bit-exact, ~4x the XLA element-rate gather; background pixels read
+    # zero rows (the caller masks against the sweep either way).
+    from drtk_tpu.ops.segment_rows import gather_rows_by_index
+
+    rows = gather_rows_by_index(
+        table.reshape(n, -1, 3 * c), index_img,
+        interpret=jax.devices()[0].platform != "tpu",
+    )  # [N, H, W, 3C]
+    return rows.reshape(n, h, w, 3, c)
 
 
 def _interpolate_fwd_math(vert_attributes, vi, index_img, bary_img):

@@ -107,14 +107,27 @@ def _out_struct(shape, dtype, *refs):
 
 
 def _pack_setup(setup, valid):
-    """[F, 16] float32 rows: ea(3), eb(3), ec(3), q(3), topleft(3), pad."""
+    """[F, 16] float32 rows: ea(3), eb(3), ec(3), q(3), tlpack(1),
+    ymin(1), ymax(1), valid(1).
+
+    The three topleft flags ride one field as tl0 + 2*tl1 + 4*tl2 (exact
+    small ints in f32; the kernel decodes them with three scalar
+    compares), freeing two fields for the triangle's GLOBAL pixel-row
+    bbox — the kernel predicates its 8-row group evaluation on it, so a
+    ~8-px-tall triangle costs 1-2 (8, 128) VREG evaluations instead of
+    the whole 32-row tile (~60 % of the resolve kernel's VPU work on the
+    51k-tri 1024^2 scene was rows the triangle could never cover)."""
+    tl = setup.topleft.astype(jnp.float32)
+    tlpack = tl[..., 0] + 2.0 * tl[..., 1] + 4.0 * tl[..., 2]
     return jnp.concatenate(
         [
             setup.ea,
             setup.eb,
             setup.ec,
             setup.q,
-            setup.topleft.astype(jnp.float32),
+            tlpack[..., None],
+            setup.bbox[..., 1:2].astype(jnp.float32),  # ymin (global rows)
+            setup.bbox[..., 3:4].astype(jnp.float32),  # ymax
             valid.astype(jnp.float32)[..., None],
         ],
         axis=-1,
@@ -270,24 +283,25 @@ def _tile_kernel(
     tx = pl.program_id(2)
     tile = ty * n_tx + tx
 
-    px = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
-        + tx * TILE_W
+    # Per 8-row group pixel grids: one (8, 128) VREG each. The x iota is
+    # row-invariant; y adds the group's global row base at use sites.
+    n_groups = tile_h // 8
+    px8 = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1) + tx * TILE_W
     ).astype(jnp.float32)
+    py8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(
+        jnp.float32
+    )
     # Global pixel rows: the viewport offset keeps the per-pixel float math
     # identical to the full-frame evaluation (bit-exact row tiles).
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
-        + ty * tile_h
-        + yoff_ref[0]
-    ).astype(jnp.float32)
+    row_base = (ty * tile_h + yoff_ref[0]).astype(jnp.float32)
 
     def make_body(read_field, read_id, lo, hi):
         # Unrolled x4: amortizes per-iteration loop/sync overhead over four
-        # triangles; slots outside the exact [lo, hi) range are masked via
+        # triangles; slots outside the exact [lo, hi) range are skipped via
         # the scalar live flag (alignment slack and neighbouring tiles'
         # pairs are fetched but never scored).
-        def one(k, di, best):
+        def one(k, groups):
             live = (k >= lo) & (k < hi)
             base = k * 16
             ea0 = read_field(base + 0)
@@ -302,38 +316,69 @@ def _tile_kernel(
             q0 = read_field(base + 9)
             q1 = read_field(base + 10)
             q2 = read_field(base + 11)
-            tl0 = read_field(base + 12)
-            tl1 = read_field(base + 13)
-            tl2 = read_field(base + 14)
+            tlp = read_field(base + 12)
+            ymin = read_field(base + 13)
+            ymax = read_field(base + 14)
             tri_id = read_id(k)
+            # Decode the packed topleft flags (tl0 + 2*tl1 + 4*tl2, exact
+            # small ints): three scalar compares.
+            tl2 = tlp >= 4.0
+            rem = tlp - jnp.where(tl2, 4.0, 0.0)
+            tl1 = rem >= 2.0
+            tl0 = (rem - jnp.where(tl1, 2.0, 0.0)) >= 1.0
 
-            e0 = ea0 * px + eb0 * py + ec0
-            e1 = ea1 * px + eb1 * py + ec1
-            e2 = ea2 * px + eb2 * py + ec2
-            keep = (
-                ((e0 > 0) | ((e0 == 0) & (tl0 > 0)))
-                & ((e1 > 0) | ((e1 == 0) & (tl1 > 0)))
-                & ((e2 > 0) | ((e2 == 0) & (tl2 > 0)))
-                & live
-            )
-            di_tri = e0 * q0 + e1 * q1 + e2 * q2
-            better = (di_tri > di) | ((di_tri == di) & (tri_id < best))
-            upd = keep & better
-            return jnp.where(upd, di_tri, di), jnp.where(upd, tri_id, best)
+            def hit(g, di, best):
+                py = py8 + (row_base + 8.0 * g)
+                e0 = ea0 * px8 + eb0 * py + ec0
+                e1 = ea1 * px8 + eb1 * py + ec1
+                e2 = ea2 * px8 + eb2 * py + ec2
+                keep = (
+                    ((e0 > 0) | ((e0 == 0) & tl0))
+                    & ((e1 > 0) | ((e1 == 0) & tl1))
+                    & ((e2 > 0) | ((e2 == 0) & tl2))
+                )
+                di_tri = e0 * q0 + e1 * q1 + e2 * q2
+                better = (di_tri > di) | ((di_tri == di) & (tri_id < best))
+                upd = keep & better
+                return (
+                    jnp.where(upd, di_tri, di),
+                    jnp.where(upd, tri_id, best),
+                )
+
+            out = []
+            for g, (di, best) in enumerate(groups):
+                # Evaluate ONLY row groups the triangle's y-bbox touches
+                # (same conservative bound the tile binning already uses,
+                # at 8-row instead of tile_h granularity) — a real branch,
+                # so skipped groups cost nothing.
+                g0 = row_base + 8.0 * g
+                pred = live & (ymax >= g0) & (ymin <= g0 + 7.0)
+                out.append(
+                    jax.lax.cond(
+                        pred,
+                        lambda di=di, best=best, g=g: hit(g, di, best),
+                        lambda di=di, best=best: (di, best),
+                    )
+                )
+            return tuple(out)
 
         def body(c, carry):
-            di, best = carry
             k = c * 4
-            di, best = one(k, di, best)
-            di, best = one(k + 1, di, best)
-            di, best = one(k + 2, di, best)
-            di, best = one(k + 3, di, best)
-            return di, best
+            carry = one(k, carry)
+            carry = one(k + 1, carry)
+            carry = one(k + 2, carry)
+            carry = one(k + 3, carry)
+            return carry
 
         return body
 
-    di0 = jnp.full((tile_h, TILE_W), _NEG_INF, jnp.float32)
-    id0 = jnp.full((tile_h, TILE_W), _INT32_MAX, jnp.int32)
+    groups0 = tuple(
+        (
+            jnp.full((8, TILE_W), _NEG_INF, jnp.float32),
+            jnp.full((8, TILE_W), _INT32_MAX, jnp.int32),
+        )
+        for _ in range(n_groups)
+    )
 
     def march_segment(seg, carry):
         """Stream segment ``seg`` of the sorted pair arrays through SMEM in
@@ -381,11 +426,11 @@ def _tile_kernel(
 
     # --- The tile's own contiguous segment, then the enclosing supertile's
     # (hierarchical binning level 2: triangles too big for the fine grid).
-    di, best = march_segment(tile, (di0, id0))
+    groups = march_segment(tile, groups0)
     n_tiles = n_tx * n_ty
     n_sx = -(-n_tx // SUPER)
     stile = (ty // SUPER) * n_sx + (tx // SUPER)
-    di, best = march_segment(n_tiles + stile, (di, best))
+    groups = march_segment(n_tiles + stile, groups)
 
     # --- Global list: stream SMEM-sized chunks from HBM. The DMA per chunk
     # is the same for every tile; the z-test is idempotent so order is free.
@@ -418,10 +463,11 @@ def _tile_kernel(
         )
 
     n_gchunks = (gcount + jnp.int32(_GCHUNK - 1)) // jnp.int32(_GCHUNK)
-    di, best = jax.lax.fori_loop(0, n_gchunks, chunk_body, (di, best))
+    groups = jax.lax.fori_loop(0, n_gchunks, chunk_body, groups)
 
-    di_ref[0] = di
-    id_ref[0] = best
+    for g in range(n_groups):
+        di_ref[0, g * 8 : (g + 1) * 8, :] = groups[g][0]
+        id_ref[0, g * 8 : (g + 1) * 8, :] = groups[g][1]
 
 
 # --------------------------------------------------------------------------

@@ -49,12 +49,20 @@ def _gather_face_verts(
     """
     n, h, w = index_img.shape
     mask = index_img >= 0
-    safe_index = jnp.maximum(index_img, 0)
-    # Two-level gather: faces first (small), then one packed row per pixel.
+    # Two-level gather: faces first (small), then one binned-matmul row
+    # fetch per pixel (segment_rows.gather_rows_by_index — bit-exact,
+    # ~4x the throughput of the XLA element-rate gather at 1024^2).
+    # Background pixels read all-zero rows; every consumer of pix_verts
+    # masks its outputs with ``mask``, so only the (finite, epsclamped)
+    # intermediates change there.
+    from drtk_tpu.ops.segment_rows import gather_rows_by_index
+
     face_verts = jax.vmap(lambda vb, vib: vb[vib])(v, vi)  # [N, F, 3, 3]
-    table = jnp.pad(face_verts.reshape(n, -1, 9), ((0, 0), (0, 0), (0, 7)))
-    rows = jax.vmap(lambda t, ii: t[ii])(table, safe_index.reshape(n, -1))
-    pix_verts = rows[..., :9].reshape(n, h, w, 3, 3)
+    rows = gather_rows_by_index(
+        face_verts.reshape(n, -1, 9), index_img,
+        interpret=jax.devices()[0].platform != "tpu",
+    )  # [N, H, W, 9] (f64 tables take the dtype-preserving plain path)
+    pix_verts = rows.reshape(n, h, w, 3, 3)
     return pix_verts, mask
 
 

@@ -232,13 +232,30 @@ def _window_kernel(org_ref, rows_ref, crow_ref, ccol_ref, acc_in_ref,
                         span_copy(c, s, write=True).wait()
 
 
+def _out_struct(shape, dtype, *refs):
+    """ShapeDtypeStruct carrying the union of the refs' shard_map vma —
+    pallas_call out_shapes must state their manual-axis variance under
+    check_vma shard_map (same helper as rasterize_pallas._out_struct)."""
+    try:
+        vma = set()
+        for r in refs:
+            vma |= set(jax.typeof(r).vma)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _windowed_accumulate_one(rows_b, crow_b, ccol_b, origins_b, out_h,
                              out_w, win_h, win_w, k_dim, interpret):
     """rows_b [NB, K, B], crow_b / ccol_b [NB, 1, B], origins_b [8, NB]
     -> [K, out_h, out_w] (single batch element)."""
     nb = rows_b.shape[0]
     b = rows_b.shape[2]
-    zeros = jnp.zeros((k_dim, out_h, out_w), jnp.float32)
+    from drtk_tpu.ops.math import vary_like
+
+    zeros = vary_like(
+        jnp.zeros((k_dim, out_h, out_w), jnp.float32), rows_b, crow_b
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # origins [8, NB] land whole in SMEM
         grid=(nb,),
@@ -266,7 +283,9 @@ def _windowed_accumulate_one(rows_b, crow_b, ccol_b, origins_b, out_h,
             _window_kernel, win_h=win_h, win_w=win_w, k_dim=k_dim
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k_dim, out_h, out_w), jnp.float32),
+        out_shape=_out_struct(
+            (k_dim, out_h, out_w), jnp.float32, rows_b, crow_b, zeros
+        ),
         input_output_aliases={4: 0},
         interpret=interpret,
     )(origins_b, rows_b, crow_b, ccol_b, zeros)

@@ -81,14 +81,15 @@ def test_range_bins_residual_fallback():
     )
 
     f_cnt = 200000
-    n_clusters = _bin_capacity(f_cnt, 1) // _RANGE_WIDTH + 2
-    # one 32x128 tile with ids from widely-spaced clusters, one per row
+    # exceed BOTH coverage tiers (2x the base range count)
+    n_clusters = 2 * (_bin_capacity(f_cnt, 1) // _RANGE_WIDTH) + 2
+    # one 32x128 tile with ids from widely-spaced clusters, two per row
     idx = np.full((1, 32, 128), -1, np.int32)
     for i in range(n_clusters):
-        idx[0, i, :] = i * 10000
+        idx[0, i // 2, (i % 2) * 64 : (i % 2 + 1) * 64] = i * 5000
     index_img = jnp.asarray(idx)
-    bins, ok = _range_bins(index_img, f_cnt, 32, 128)
-    assert not bool(ok[0])
+    bins1, ok1, bins2, ok2 = _range_bins(index_img, f_cnt, 32, 128)
+    assert not bool(ok1[0]) and not bool(ok2[0])
 
     rng = np.random.RandomState(0)
     rows = jnp.asarray(rng.randn(1, 32, 128, 4).astype(np.float32)) * (
